@@ -1,0 +1,89 @@
+"""Configuration for the TPU gaussian-splatting rasterizer.
+
+The reference keeps its tunables scattered across compile-time GLSL constants
+(`gaussian_splatting_rasterizer.gd:4-8`, `gsplat_projection.glsl:23-27`), live
+ImGui-bound state (`main.gd:49-68`) and Godot project settings. Here they are
+promoted to one frozen dataclass (SURVEY.md §5 "Config / flag system").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+# Compile-time constants of the reference pipeline
+# (gaussian_splatting_rasterizer.gd:4-8, gsplat_projection.glsl:23-27).
+TILE_SIZE = 16                  # pixels per tile edge (gsplat_render.glsl:8)
+SORT_BUFFER_FACTOR = 10         # max duplicated keys = 10*N (gaussian_splatting_rasterizer.gd:79)
+MIN_FACTOR = 255                # saturation early-exit threshold (gsplat_render.glsl:6)
+MIN_ALPHA = 1.0 / MIN_FACTOR    # per-pixel transmittance cutoff (gsplat_render.glsl:7)
+INVALID_KEY = 0xFFFFFFFF        # sort key sentinel for padded/culled slots (ours; the
+                                # reference sizes its dispatch by an atomic counter instead)
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterizerConfig:
+    """Static configuration of a rasterizer instance.
+
+    Everything here is a *compile-time* parameter of the jitted frame function;
+    changing one re-traces. Live per-frame knobs (camera, model_scale, heatmap,
+    time) are traced arguments instead — see `ops.pipeline.render_frame`.
+    """
+
+    # --- image ---
+    width: int = 1920
+    height: int = 1080
+    render_scale: float = 1.0   # main.gd:51 slider 0.05-1.5; scales the render target
+
+    # --- pipeline geometry ---
+    tile_size: int = TILE_SIZE
+    sort_buffer_factor: int = SORT_BUFFER_FACTOR
+    # Static cap of tiles a single splat may touch in the jit pair-emission path.
+    # The reference has no cap (dynamic atomic allocation); a splat overflowing the
+    # cap keeps its closest tiles (row-major prefix of its rect). 32 tiles covers a
+    # ~90x90px footprint; overflow is counted and reported via telemetry.
+    max_tiles_per_splat: int = 32
+
+    # --- model ---
+    sh_degree: int = 3          # 0..3; degree<3 zero-pads coefficients (README.md:64)
+
+    # --- fidelity / quirk switches (all default to exact reference behaviour) ---
+    # Reproduce gsplat_boundaries.glsl:47-49: the bottom-right grid tile's range end
+    # is set to sort_size-1 (drops one splat), and the highest-tile-id run present
+    # in the sorted buffer is dropped unless it is that grid tile.
+    reference_boundary_quirk: bool = True
+    # Reproduce the Jacobian quirk at gsplat_projection.glsl:134-137 where
+    # -focal.y (not -focal.x) multiplies mean.x in J[2][0].
+    reference_jacobian_quirk: bool = True
+
+    # --- performance knobs ---
+    # "exact": per-tile compositing in exact sorted order (reference semantics).
+    # "fast":  depth-bucketed order-independent transmittance (no global sort).
+    quality: str = "exact"
+    # Use float32 for all rasterization math (required for the 1e-3 parity bar).
+    dtype: str = "float32"
+
+    @property
+    def target_size(self) -> Tuple[int, int]:
+        """Render target (width, height) after render_scale, min 1px.
+
+        Mirrors the texture_size setter (gaussian_splatting_rasterizer.gd:26-29).
+        """
+        w = max(1, int(self.width * self.render_scale))
+        h = max(1, int(self.height * self.render_scale))
+        return (w, h)
+
+    @property
+    def tile_dims(self) -> Tuple[int, int]:
+        """Tile grid (cols, rows) = ceil(target / tile_size)."""
+        w, h = self.target_size
+        t = self.tile_size
+        return ((w + t - 1) // t, (h + t - 1) // t)
+
+    @property
+    def num_tiles(self) -> int:
+        tx, ty = self.tile_dims
+        return tx * ty
+
+    def replace(self, **kw) -> "RasterizerConfig":
+        return dataclasses.replace(self, **kw)

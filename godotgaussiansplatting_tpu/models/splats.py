@@ -1,0 +1,146 @@
+"""Splat cloud: the HBM-resident structure-of-arrays splat model.
+
+The reference packs each splat into a 60-float std430 struct
+(`gsplat_projection.glsl:33-40`: pos(3)+time(1)+cov3d(6)+opacity(1)+pad(1)+SH(48))
+uploaded as one interleaved buffer (`ply_file.gd:37-69`). On TPU we keep a
+structure-of-arrays pytree instead: XLA wants contiguous lanes per field, and
+SoA lets the projection stage stream exactly the fields it needs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PAD_MULTIPLE = 2048  # splat-axis padding granularity (TPU lane/sublane friendly)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SplatCloud:
+    """SoA splat model. All arrays are padded to the same length ``capacity``;
+    slots >= ``num_splats`` are inert (opacity forced to 0 at load).
+
+    Fields mirror the reference's GPU Splat struct (gsplat_projection.glsl:33-40):
+      means      (P, 3) f32 — world position (PLY frame; x/y negation lives in the camera)
+      cov3d      (P, 6) f32 — upper triangle [xx, xy, xz, yy, yz, zz] of R S^2 R^T
+      opacity    (P,)   f32 — post-sigmoid opacity (ply_file.gd:62)
+      sh         (P, 16, 3) f32 — RGB spherical harmonics, coeff-major (ply_file.gd:65-69)
+      upload_time (P,)  f32 — host timestamp of upload, drives the fade-in animation
+                              (ply_file.gd:46, gsplat_projection.glsl:169-174)
+    """
+
+    means: jax.Array
+    cov3d: jax.Array
+    opacity: jax.Array
+    sh: jax.Array
+    upload_time: jax.Array
+    num_splats: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def capacity(self) -> int:
+        return self.means.shape[0]
+
+    def __len__(self) -> int:
+        return self.num_splats
+
+
+def _pad(a: np.ndarray, capacity: int) -> np.ndarray:
+    pad = [(0, capacity - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+    return np.pad(a, pad)
+
+
+def build_covariance(scales: np.ndarray, quats_xyzw: np.ndarray) -> np.ndarray:
+    """3D covariance upper triangle from (linear) scales and unit quaternions.
+
+    Matches the CPU precompute at ply_file.gd:49-59: cov = (S R^T)^T (S R^T)
+    = R S^2 R^T with S = diag(scales). Quaternions are (x, y, z, w) here;
+    the PLY stores (w, x, y, z) — the loader reorders (ply_file.gd:50).
+    Returns (N, 6): [xx, xy, xz, yy, yz, zz].
+    """
+    scales = np.asarray(scales, np.float32)
+    q = np.asarray(quats_xyzw, np.float32)
+    q = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    x, y, z, w = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    # Rotation matrix R (rows) from unit quaternion.
+    R = np.stack(
+        [
+            1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
+            2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+            2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
+        ],
+        axis=-1,
+    ).reshape(*q.shape[:-1], 3, 3)
+    S2 = scales[..., None] ** 2  # (N, 3, 1)
+    cov = np.einsum("...ik,...k,...jk->...ij", R, S2[..., 0], R)
+    return np.stack(
+        [cov[..., 0, 0], cov[..., 0, 1], cov[..., 0, 2],
+         cov[..., 1, 1], cov[..., 1, 2], cov[..., 2, 2]],
+        axis=-1,
+    ).astype(np.float32)
+
+
+def from_arrays(
+    means: np.ndarray,
+    scales: np.ndarray,
+    quats_xyzw: np.ndarray,
+    opacities: np.ndarray,
+    sh: np.ndarray,
+    upload_time: float | np.ndarray = 0.0,
+    capacity: Optional[int] = None,
+) -> SplatCloud:
+    """Build a device-resident SplatCloud from host arrays.
+
+    ``opacities`` are post-sigmoid; ``scales`` are linear (post-exp); ``sh`` is
+    (N, 16, 3) coeff-major RGB (degree<3 models zero-pad the tail).
+    """
+    n = means.shape[0]
+    cap = capacity or ((n + PAD_MULTIPLE - 1) // PAD_MULTIPLE * PAD_MULTIPLE)
+    cap = max(cap, PAD_MULTIPLE)
+    cov6 = build_covariance(scales, quats_xyzw)
+    if np.ndim(upload_time) == 0:
+        upload_time = np.full((n,), float(upload_time), np.float32)
+    sh = np.asarray(sh, np.float32)
+    if sh.shape[1] < 16:
+        sh = np.pad(sh, ((0, 0), (0, 16 - sh.shape[1]), (0, 0)))
+    return SplatCloud(
+        means=jnp.asarray(_pad(np.asarray(means, np.float32), cap)),
+        cov3d=jnp.asarray(_pad(cov6, cap)),
+        opacity=jnp.asarray(_pad(np.asarray(opacities, np.float32), cap)),
+        sh=jnp.asarray(_pad(sh, cap)),
+        upload_time=jnp.asarray(_pad(np.asarray(upload_time, np.float32), cap)),
+        num_splats=n,
+    )
+
+
+def synthetic_scene(
+    num_splats: int,
+    seed: int = 0,
+    extent: float = 4.0,
+    scale_range: tuple = (0.005, 0.05),
+    sh_degree: int = 3,
+) -> SplatCloud:
+    """Deterministic random scene for tests and benchmarks.
+
+    The reference ships demo.ply (stripped from this checkout,
+    .MISSING_LARGE_BLOBS:6); this stands in as the measurable workload.
+    """
+    rng = np.random.default_rng(seed)
+    n = num_splats
+    means = rng.uniform(-extent, extent, (n, 3)).astype(np.float32)
+    # Push the cloud in front of the default camera (which looks down -Z from
+    # the origin in the reference world, i.e. +Z in PLY frame after negation).
+    means[:, 2] += extent * 1.5
+    scales = rng.uniform(*scale_range, (n, 3)).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    opac = rng.uniform(0.2, 1.0, (n,)).astype(np.float32)
+    ncoef = (sh_degree + 1) ** 2
+    sh = np.zeros((n, 16, 3), np.float32)
+    sh[:, 0] = rng.uniform(-1.0, 2.0, (n, 3))  # DC around mid-grey after the +0.5
+    if ncoef > 1:
+        sh[:, 1:ncoef] = rng.normal(0, 0.12, (n, ncoef - 1, 3))
+    return from_arrays(means, scales, quats, opac, sh)

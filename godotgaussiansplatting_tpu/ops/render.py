@@ -1,0 +1,142 @@
+"""Stage 4: per-tile back-to-front premultiplied-alpha compositing.
+
+TPU-native equivalent of `gsplat_render.glsl` (one 16×16 workgroup per tile,
+shared-memory chunked loads, cooperative saturation exit). Two key mappings:
+
+* The GPU's sequential `t *= (1-alpha)` loop with its `t > 1/255` check
+  (gsplat_render.glsl:79-91) is exactly the prefix-product formulation
+      contrib_j = rgb_j · α_j · P_j · [P_j > 1/255],   P_j = Π_{k<j} (1-α_k)
+  because P is monotone non-increasing, so the processed set is always a
+  prefix. This turns the loop into cumprod + reduction — fully vectorizable.
+* The cooperative block exit (gsplat_render.glsl:45-48,64-99) only changes
+  *which chunks get loaded*, never the per-pixel result, so it needs no
+  equivalent here; the Pallas kernel reintroduces it as a perf optimization.
+
+This module is the XLA fallback/oracle-grade renderer (correct everywhere,
+gather-bound); `ops/render_pallas.py` holds the performance kernel.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MIN_FACTOR, RasterizerConfig
+
+
+class RenderOutput(NamedTuple):
+    image: jnp.ndarray        # (H, W, 4) f32, alpha = 1
+    tile_t0: jnp.ndarray      # (T,) f32 — final transmittance of each tile's
+                              # (0,0) pixel (the picking `t != 1` probe,
+                              # gsplat_render.glsl:105)
+    tile_counts: jnp.ndarray  # (T,) i32 — per-tile splat counts (heatmap/stats)
+
+
+def _blend_tile_batch(
+    ids, slot_valid, tile_px, tile_py,
+    image_pos, conic, color, counts, heatmap_factor,
+):
+    """Composite a batch of tiles. ids: (B, C) splat ids; slot_valid: (B, C);
+    tile_px/tile_py: (B,) top-left pixel coords. Returns ((B,256,3), (B,))."""
+    ts = 16
+    ipos = image_pos[ids]                       # (B, C, 2)
+    con = conic[ids]                            # (B, C, 3)
+    col = color[ids]                            # (B, C, 4)
+
+    lx = jnp.arange(ts, dtype=jnp.float32)
+    px = tile_px[:, None].astype(jnp.float32) + jnp.tile(lx, ts)[None, :]       # (B, 256)
+    py = tile_py[:, None].astype(jnp.float32) + jnp.repeat(lx, ts)[None, :]     # (B, 256)
+
+    dx = ipos[:, :, 0:1] - px[:, None, :]       # (B, C, 256)
+    dy = ipos[:, :, 1:2] - py[:, None, :]
+    power = (-0.5 * (con[:, :, 0:1] * dx * dx + con[:, :, 2:3] * dy * dy)
+             - con[:, :, 1:2] * dx * dy)        # gsplat_render.glsl:84
+    alpha = col[:, :, 3:4] * jnp.exp(power)     # no clamps — quirk (:85-87)
+    alpha = jnp.where(slot_valid[:, :, None], alpha, 0.0)
+
+    one_m = 1.0 - alpha
+    p_incl = jnp.cumprod(one_m, axis=1)         # transmittance after slot c
+    # Exclusive prefix (shift; exact even when some (1-α) == 0):
+    p_excl = jnp.concatenate([jnp.ones_like(p_incl[:, :1]), p_incl[:, :-1]], axis=1)
+
+    processed = p_excl > (1.0 / MIN_FACTOR)     # the `t > MIN_ALPHA` check (:79)
+    w = alpha * p_excl * processed
+    blended = jnp.einsum("bcp,bck->bpk", w, col[:, :, :3])  # (B, 256, 3)
+
+    # Final per-pixel transmittance (for heatmap and picking): P_incl at the
+    # last processed slot; 1 where nothing processed.
+    t_final = jnp.min(jnp.where(processed, p_incl, 1.0), axis=1)  # (B, 256)
+
+    # Heatmap overlay (gsplat_render.glsl:100-101): unclamped lerp blue→red by
+    # count·5e-4, scaled by opacity-coverage and the heatmap factor.
+    mixf = counts.astype(jnp.float32)[:, None] * 5e-4
+    blue = jnp.array([0.0, 0.0, 1.0], jnp.float32)
+    red = jnp.array([1.0, 0.2, 0.2], jnp.float32)
+    hm = (blue[None, None] + (red - blue)[None, None] * mixf[:, :, None])
+    blended = blended + hm * ((1.0 - t_final) * heatmap_factor)[:, :, None]
+    return blended, t_final
+
+
+def render_tiles(
+    sorted_values: jnp.ndarray,   # (K_max,) i32 splat ids, sorted pair order
+    tile_start: jnp.ndarray,      # (T,) i32
+    tile_end: jnp.ndarray,        # (T,) i32
+    image_pos: jnp.ndarray,       # (P, 2)
+    conic: jnp.ndarray,           # (P, 3)
+    color: jnp.ndarray,           # (P, 4)
+    heatmap_factor: jnp.ndarray,  # scalar f32 (0 or 1; main.gd:50)
+    cfg: RasterizerConfig,
+    tile_capacity: int = 2048,
+    tile_batch: int = 16,
+) -> RenderOutput:
+    """XLA renderer. tile_capacity statically bounds per-tile list length
+    (tiles beyond it are truncated at the far end — the Pallas kernel has no
+    such cap; telemetry reports `max_tile_count` so overflow is observable)."""
+    gx, gy = cfg.tile_dims
+    T = gx * gy
+    K = sorted_values.shape[0]
+    C = tile_capacity
+    ts = cfg.tile_size
+
+    counts = tile_end - tile_start
+    tids = jnp.arange(T, dtype=jnp.int32)
+    tpx = (tids % gx) * ts
+    tpy = (tids // gx) * ts
+
+    # Pad T to a multiple of the batch.
+    TB = tile_batch
+    T_pad = (T + TB - 1) // TB * TB
+    pad = T_pad - T
+    start_p = jnp.pad(tile_start, (0, pad))
+    end_p = jnp.pad(tile_end, (0, pad))
+    tpx_p = jnp.pad(tpx, (0, pad))
+    tpy_p = jnp.pad(tpy, (0, pad))
+    cnt_p = jnp.pad(counts, (0, pad))
+
+    def body(args):
+        s, e, x, y, n = args
+        slots = s[:, None] + jnp.arange(C, dtype=jnp.int32)[None, :]
+        valid = slots < e[:, None]
+        ids = sorted_values[jnp.clip(slots, 0, K - 1)]
+        return _blend_tile_batch(ids, valid, x, y,
+                                 image_pos, conic, color, n, heatmap_factor)
+
+    nb = T_pad // TB
+    blended, t_final = jax.lax.map(
+        body,
+        (start_p.reshape(nb, TB), end_p.reshape(nb, TB),
+         tpx_p.reshape(nb, TB), tpy_p.reshape(nb, TB),
+         cnt_p.reshape(nb, TB)),
+    )
+    blended = blended.reshape(T_pad, 256, 3)[:T]
+    t_final = t_final.reshape(T_pad, 256)[:T]
+
+    # Assemble (gy*16, gx*16) and crop to the render target.
+    wpx, hpx = cfg.target_size
+    img = blended.reshape(gy, gx, ts, ts, 3).transpose(0, 2, 1, 3, 4)
+    img = img.reshape(gy * ts, gx * ts, 3)[:hpx, :wpx]
+    rgba = jnp.concatenate(
+        [img, jnp.ones((*img.shape[:2], 1), img.dtype)], axis=-1)
+    return RenderOutput(image=rgba, tile_t0=t_final[:, 0], tile_counts=counts)

@@ -1,0 +1,132 @@
+"""Stage 2+3: duplicated-key emission, device sort, and tile-range boundaries.
+
+TPU-native replacement for the reference's GPU-driven duplication
+(gsplat_projection.glsl:196,216-226), its vendored 4-pass radix sort
+(radix_sort_{upsweep,spine,downsweep}.glsl) and the boundary kernel
+(gsplat_boundaries.glsl). XLA needs static shapes, so instead of an atomic
+append counter the pipeline:
+
+  1. reserves each splat's key range with an exclusive cumsum over its tile
+     count (the deterministic analogue of atomicAdd at gsplat_projection.glsl:196),
+  2. scatters (key, value) pairs into a fixed 10·N buffer (the reference's own
+     worst-case bet, gaussian_splatting_rasterizer.gd:79) padded with
+     INVALID_KEY, which sorts to the tail,
+  3. sorts with a stable key-value sort,
+  4. extracts per-tile [start, end) ranges from the sorted keys.
+
+Key format matches gsplat_projection.glsl:218-222: key = tile_id << 16 | depth16.
+
+Ordering note: the reference's pre-sort buffer order is *nondeterministic*
+(concurrent atomicAdd ranges), so equal-key pair order is GPU-race dependent.
+Ours is deterministic: splat id, then row-major rect order — a strict
+improvement that stays within the reference's own behavior envelope.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import INVALID_KEY, RasterizerConfig
+
+
+class SortedPairs(NamedTuple):
+    keys: jnp.ndarray        # (K_max,) u32 sorted; INVALID_KEY padding at tail
+    values: jnp.ndarray      # (K_max,) i32 splat ids
+    num_pairs: jnp.ndarray   # ()  i32 valid pair count ("sort_buffer_size")
+    num_overflow: jnp.ndarray  # () i32 pairs dropped by the per-splat tile cap
+                               # (reference instead *detects* 10N overflow, main.gd:100)
+
+
+def emit_and_sort(
+    proj_valid: jnp.ndarray,    # (P,) bool
+    rect: jnp.ndarray,          # (P, 4) i32 [x0, y0, x1, y1)
+    num_tiles: jnp.ndarray,     # (P,) i32
+    depth16: jnp.ndarray,       # (P,) u32
+    cfg: RasterizerConfig,
+    capacity: int | None = None,
+) -> SortedPairs:
+    """Emit (tile<<16|depth, splat_id) pairs and sort them (stages 2 of the
+    reference frame, gaussian_splatting_rasterizer.gd:143-150)."""
+    P = rect.shape[0]
+    gx, _ = cfg.tile_dims
+    k_max = capacity if capacity is not None else cfg.sort_buffer_factor * P
+    max_t = cfg.max_tiles_per_splat
+
+    nt_capped = jnp.minimum(num_tiles, max_t)
+    overflow = jnp.sum(num_tiles - nt_capped)
+    offsets = jnp.cumsum(nt_capped) - nt_capped          # exclusive prefix
+    total = offsets[-1] + nt_capped[-1] if P else jnp.int32(0)
+
+    rect_w = jnp.maximum(rect[:, 2] - rect[:, 0], 1)
+    base_tile = rect[:, 1] * gx + rect[:, 0]             # top-left tile id
+    splat_ids = jnp.arange(P, dtype=jnp.int32)
+
+    keys = jnp.full((k_max,), INVALID_KEY, dtype=jnp.uint32)
+    vals = jnp.zeros((k_max,), dtype=jnp.int32)
+
+    # One masked scatter per static slot t: slot t of splat i addresses the
+    # t-th tile of its rect in row-major order (gsplat_projection.glsl:219-226).
+    for t in range(max_t):
+        live = proj_valid & (t < nt_capped)
+        ty = t // rect_w
+        tx = t - ty * rect_w
+        tile_id = (base_tile + ty * gx + tx).astype(jnp.uint32)
+        key_t = (tile_id << 16) | depth16
+        dest = jnp.where(live, offsets + t, k_max)       # k_max → dropped
+        keys = keys.at[dest].set(key_t, mode="drop", unique_indices=True)
+        vals = vals.at[dest].set(splat_ids, mode="drop", unique_indices=True)
+
+    skeys, svals = jax.lax.sort_key_val(keys, vals, is_stable=True)
+    return SortedPairs(keys=skeys, values=svals,
+                       num_pairs=total.astype(jnp.int32),
+                       num_overflow=overflow.astype(jnp.int32))
+
+
+def tile_boundaries(
+    sorted_keys: jnp.ndarray,   # (K_max,) u32
+    num_pairs: jnp.ndarray,     # () i32
+    cfg: RasterizerConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-tile [start, end) ranges over the sorted pair buffer.
+
+    Semantically equivalent to gsplat_boundaries.glsl's adjacent-key compare,
+    implemented as two vectorized binary searches per tile (the sorted tile ids
+    are monotone, so searchsorted *is* the boundary extraction).
+
+    Reproduces the reference's two quirks when cfg.reference_boundary_quirk
+    (gsplat_boundaries.glsl:36-49):
+      * the final run in the buffer never gets an end written, so the
+        highest-present-tile's range collapses to empty — unless it is the
+        bottom-right grid tile, whose end is patched to num_pairs-1
+        (dropping that tile's farthest splat).
+    Returns (start, end) each (num_tiles,) i32, end clamped ≥ start.
+    """
+    T = cfg.num_tiles
+    tids = (sorted_keys >> 16).astype(jnp.int32)  # INVALID_KEY → 0xFFFF ≥ T
+    # Restrict the search to the valid region by overwriting the tail with a
+    # sentinel ≥ T (padding already satisfies this; num_pairs only matters for
+    # the quirk below).
+    queries = jnp.arange(T, dtype=jnp.int32)
+    start = jnp.searchsorted(tids, queries, side="left").astype(jnp.int32)
+    end = jnp.searchsorted(tids, queries, side="right").astype(jnp.int32)
+
+    if cfg.reference_boundary_quirk:
+        n = num_pairs
+        has_pairs = n > 0
+        last_tid = jnp.where(has_pairs, tids[jnp.maximum(n - 1, 0)], -1)
+        is_grid_last = last_tid == (T - 1)
+        # Final-run end: dropped entirely, unless it's the last grid tile,
+        # which gets end = n-1 (one splat short). Guard: the fixup thread only
+        # runs for ids in [1, n), so a single-pair buffer (n == 1) never fixes
+        # up either (id 0 returns early, gsplat_boundaries.glsl:27).
+        patched_end = jnp.where(is_grid_last & (n > 1), n - 1, 0)
+        end = jnp.where(
+            (queries == last_tid) & has_pairs,
+            patched_end,
+            end,
+        )
+    end = jnp.maximum(end, start)  # render's max(0, end-start) (gsplat_render.glsl:61)
+    return start, end
