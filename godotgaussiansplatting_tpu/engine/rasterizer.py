@@ -1,0 +1,226 @@
+"""The rasterizer engine: device state + per-frame orchestration + knobs.
+
+Equivalent of `GaussianSplattingRasterizer` (util/gaussian_splatting_rasterizer.gd):
+owns the device-resident model, the jit-compiled frame function (standing in
+for the 6 shaders / 6 pipelines / 10 descriptor sets), the camera-matrix
+change detection, resize, picking, heatmap/scale knobs, per-stage telemetry
+and the async streaming loader.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RasterizerConfig
+from ..models.camera import Camera
+from ..models.splats import SplatCloud
+from ..models import ply as plyio
+from ..ops.pipeline import (FrameOutput, FrameUniforms, pick_splat_position,
+                            render_frame_jit)
+from ..utils.telemetry import (StageTimings, device_memory_stats,
+                               force_readback, format_bytes)
+from .loader import StreamingLoader
+
+_A = np.diag([-1.0, -1.0, 1.0]).astype(np.float32)
+
+
+class Rasterizer:
+    """Owns one splat model + render state.
+
+    Live knobs (ImGui-bound arrays in the reference, main.gd:49-68):
+      render_scale, model_scale, should_enable_heatmap, basis_override.
+    Changing texture_size/render_scale re-specializes the jit (the analogue of
+    the pipeline rebuild in the texture_size setter,
+    gaussian_splatting_rasterizer.gd:26-48 — without its RID leak).
+    """
+
+    def __init__(
+        self,
+        source,                      # SplatCloud | PlyFile | path | bytes
+        texture_size: Tuple[int, int] = (1280, 720),
+        camera: Optional[Camera] = None,
+        config: Optional[RasterizerConfig] = None,
+        tile_capacity: int = 2048,
+        stream: bool = False,
+        chunks: int = 64,
+    ):
+        base = config or RasterizerConfig()
+        self._cfg = base.replace(width=int(texture_size[0]),
+                                 height=int(texture_size[1]))
+        self.camera = camera or Camera.reset_pose()
+        self.tile_capacity = tile_capacity
+
+        self.render_scale = base.render_scale
+        self.model_scale = 1.0
+        self.should_enable_heatmap = False
+        self.basis_override = np.eye(3, dtype=np.float32)
+
+        self.loader: Optional[StreamingLoader] = None
+        # Non-streamed models start fully faded in (clock starts past the
+        # ~1.35s load animation window); streaming resets to a live clock.
+        self._t0 = time.monotonic() - 10.0
+        if isinstance(source, SplatCloud):
+            self.cloud = source
+        else:
+            ply = (source if isinstance(source, plyio.PlyFile)
+                   else plyio.PlyFile.parse(source))
+            if stream:
+                self._t0 = time.monotonic()
+                self.loader = StreamingLoader(
+                    ply, chunks=chunks, time_fn=self._now).start()
+                self.cloud = self.loader.cloud
+            else:
+                from ..models.splats import from_arrays
+                m, s, q, o, sh = plyio.splat_arrays_from_ply(ply)
+                self.cloud = from_arrays(m, s, q, o, sh)
+
+        self.timings = StageTimings()
+        self.last_frame: Optional[FrameOutput] = None
+        self._cached_view: Optional[np.ndarray] = None
+        self._cached_proj: Optional[np.ndarray] = None
+
+    # -- clocks / state ----------------------------------------------------
+
+    def _now(self) -> float:
+        return time.monotonic() - self._t0
+
+    @property
+    def config(self) -> RasterizerConfig:
+        return self._cfg.replace(render_scale=self.render_scale)
+
+    @property
+    def texture_size(self) -> Tuple[int, int]:
+        return self.config.target_size
+
+    @texture_size.setter
+    def texture_size(self, wh: Tuple[int, int]) -> None:
+        self._cfg = self._cfg.replace(width=int(wh[0]), height=int(wh[1]))
+        self._cached_view = None  # force next-frame matrix rebuild
+
+    @property
+    def is_loaded(self) -> bool:
+        return self.loader is None or not self.loader.is_loading
+
+    @property
+    def num_splats_loaded(self) -> int:
+        if self.loader is None:
+            return self.cloud.num_splats
+        return self.loader.num_splats_loaded
+
+    # -- camera ------------------------------------------------------------
+
+    def update_camera_matrices(self) -> bool:
+        """Rebuild view/proj if the camera changed since last call; returns the
+        changed flag (drives the reference's render-pause power saver,
+        gaussian_splatting_rasterizer.gd:175-195, main.gd:146-151)."""
+        cam = self._camera_with_override()
+        w, h = self.texture_size
+        view = cam.view_matrix()
+        proj = cam.projection_matrix(w, h)
+        changed = (self._cached_view is None
+                   or not np.array_equal(view, self._cached_view)
+                   or not np.array_equal(proj, self._cached_proj))
+        if changed:
+            self._cached_view, self._cached_proj = view, proj
+        return changed
+
+    def _camera_with_override(self) -> Camera:
+        import dataclasses
+        return dataclasses.replace(self.camera,
+                                   basis_override=self.basis_override)
+
+    def _uniforms(self) -> FrameUniforms:
+        if self._cached_view is None:
+            self.update_camera_matrices()
+        cam = self._camera_with_override()
+        return FrameUniforms(
+            view=jnp.asarray(self._cached_view),
+            proj=jnp.asarray(self._cached_proj),
+            camera_pos=jnp.asarray(cam.camera_pos_ply()),
+            model_scale=jnp.float32(self.model_scale),
+            time=jnp.float32(self._now()),
+            heatmap_factor=jnp.float32(
+                1.0 if self.should_enable_heatmap else 0.0),
+        )
+
+    # -- frame -------------------------------------------------------------
+
+    def rasterize(self, sync: bool = False) -> FrameOutput:
+        """Render one frame (gaussian_splatting_rasterizer.gd:122-160).
+        With sync=True, blocks and records wall-clock frame time."""
+        if self.loader is not None:
+            self.cloud = self.loader.cloud  # pick up streamed chunks
+        t0 = time.perf_counter()
+        out = render_frame_jit(self.cloud, self._uniforms(), self.config,
+                               tile_capacity=self.tile_capacity)
+        if sync:
+            force_readback(out.image)
+            self.timings.record("Frame", (time.perf_counter() - t0) * 1e3)
+        self.last_frame = out
+        return out
+
+    def image(self) -> np.ndarray:
+        """Host copy of the last rendered frame (H, W, 4) linear f32."""
+        if self.last_frame is None:
+            self.rasterize()
+        return np.asarray(self.last_frame.image)
+
+    # -- picking -----------------------------------------------------------
+
+    def get_splat_position(self, screen_position) -> np.ndarray:
+        """World-space position of the splat at a screen pixel, or +inf
+        (gaussian_splatting_rasterizer.gd:162-171). screen_position is in
+        *window* pixels; render_scale maps it into the render target."""
+        if self.last_frame is None:
+            self.rasterize()
+        gx, gy = self.config.tile_dims
+        ts = self.config.tile_size
+        sx = int(screen_position[0] * self.render_scale) // ts
+        sy = int(screen_position[1] * self.render_scale) // ts
+        if not (0 <= sx < gx and 0 <= sy < gy):
+            return np.full(3, np.inf, np.float32)
+        tile_id = sy * gx + sx
+        pos = np.asarray(pick_splat_position(self.last_frame, tile_id))
+        if not np.all(np.isfinite(pos)):
+            return np.full(3, np.inf, np.float32)
+        # Host transform: basis_override⁻¹ · (−x, −y, z)  (:171)
+        flipped = np.array([-pos[0], -pos[1], pos[2]], np.float32)
+        return np.linalg.inv(self.basis_override) @ flipped
+
+    # -- stats -------------------------------------------------------------
+
+    def debug_info(self) -> dict:
+        """The ImGui panel's data (main.gd:93-119): rendered splat count with
+        overflow flag, memory use, per-stage timings, sizes."""
+        info = {
+            "texture_size": self.texture_size,
+            "num_splats": self.cloud.num_splats,
+            "num_splats_loaded": self.num_splats_loaded,
+            "is_loaded": self.is_loaded,
+            "timings": self.timings.as_dict(),
+            "timing_lines": self.timings.lines(),
+        }
+        if self.last_frame is not None:
+            pairs = int(self.last_frame.stats.num_pairs)
+            cap = self.cloud.capacity * self.config.sort_buffer_factor
+            info["rendered_splats"] = pairs
+            info["buffer_overflow"] = pairs > cap  # main.gd:100
+            info["pair_overflow_dropped"] = int(
+                self.last_frame.stats.num_overflow)
+            info["max_tile_count"] = int(self.last_frame.stats.max_tile_count)
+        mem = device_memory_stats()
+        if mem:
+            info["memory_used"] = format_bytes(mem["bytes_in_use"])
+        return info
+
+    def cleanup(self) -> None:
+        """cleanup_gpu analogue: cancel streaming; device buffers are GC'd."""
+        if self.loader is not None:
+            self.loader.cancel()
+            self.loader.join(timeout=5)

@@ -34,6 +34,22 @@ class FrameUniforms(NamedTuple):
     heatmap_factor: jnp.ndarray  # () f32 0/1 (main.gd:50)
 
 
+def make_uniforms(camera, cfg: RasterizerConfig, model_scale: float = 1.0,
+                  time: float = 1e9, heatmap: float = 0.0) -> FrameUniforms:
+    """Build per-frame uniforms from a models.camera.Camera (host-side; the
+    analogue of update_camera_matrices + the uniform buffer update,
+    gaussian_splatting_rasterizer.gd:125-126,175-195)."""
+    w, h = cfg.target_size
+    return FrameUniforms(
+        view=jnp.asarray(camera.view_matrix()),
+        proj=jnp.asarray(camera.projection_matrix(w, h)),
+        camera_pos=jnp.asarray(camera.camera_pos_ply()),
+        model_scale=jnp.float32(model_scale),
+        time=jnp.float32(time),
+        heatmap_factor=jnp.float32(heatmap),
+    )
+
+
 class FrameStats(NamedTuple):
     num_pairs: jnp.ndarray     # () i32 — "Rendered Splats" stat (main.gd:98-100)
     num_overflow: jnp.ndarray  # () i32 — pairs dropped by the per-splat cap

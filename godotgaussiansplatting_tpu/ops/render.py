@@ -90,10 +90,14 @@ def render_tiles(
     cfg: RasterizerConfig,
     tile_capacity: int = 2048,
     tile_batch: int = 16,
+    pixel_offset=(0, 0),
 ) -> RenderOutput:
     """XLA renderer. tile_capacity statically bounds per-tile list length
     (tiles beyond it are truncated at the far end — the Pallas kernel has no
-    such cap; telemetry reports `max_tile_count` so overflow is observable)."""
+    such cap; telemetry reports `max_tile_count` so overflow is observable).
+    pixel_offset shifts tile pixel coordinates — used by the multi-chip path,
+    where each device renders a slab of a larger image whose image_pos values
+    are global."""
     gx, gy = cfg.tile_dims
     T = gx * gy
     K = sorted_values.shape[0]
@@ -102,8 +106,8 @@ def render_tiles(
 
     counts = tile_end - tile_start
     tids = jnp.arange(T, dtype=jnp.int32)
-    tpx = (tids % gx) * ts
-    tpy = (tids // gx) * ts
+    tpx = (tids % gx) * ts + pixel_offset[0]
+    tpy = (tids // gx) * ts + pixel_offset[1]
 
     # Pad T to a multiple of the batch.
     TB = tile_batch
