@@ -2,15 +2,17 @@
 """Headline benchmark: end-to-end render FPS at 1080p on a ~5.8M-splat scene.
 
 Mirrors the reference's published number (BASELINE.md: 108 FPS on bicycle.ply
-@1920x1080 on an RTX 3060 Ti) on one TPU chip. The demo/garden .ply files are
+@1920x1080 on an RTX 3060 Ti) on one TPU chip, using the TPU fast path
+(block-hierarchical pipeline + Pallas render kernel; ops/blocks.py documents
+the design and its ordering semantics). The demo/garden .ply files are
 stripped from this checkout, so the workload is a deterministic synthetic
-scene tuned to a comparable duplicated-pair count (~25-30M pairs/frame).
+scene with photogrammetry-like surface-concentrated splats at the same count.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Extra detail goes to stderr.
 
 Env overrides: BENCH_SPLATS, BENCH_FRAMES, BENCH_WIDTH, BENCH_HEIGHT,
-BENCH_TILE_CAPACITY.
+BENCH_QUALITY (fast|exact).
 """
 
 import json
@@ -32,34 +34,47 @@ def main():
     import jax.numpy as jnp
 
     import godotgaussiansplatting_tpu as gs
-    from godotgaussiansplatting_tpu.ops.pipeline import make_uniforms, render_frame
+    from godotgaussiansplatting_tpu.models.splats import mortonize
+    from godotgaussiansplatting_tpu.ops.pipeline import make_uniforms
 
     n_splats = int(os.environ.get("BENCH_SPLATS", 5_800_000))
     n_frames = int(os.environ.get("BENCH_FRAMES", 8))
     width = int(os.environ.get("BENCH_WIDTH", 1920))
     height = int(os.environ.get("BENCH_HEIGHT", 1080))
-    tile_capacity = int(os.environ.get("BENCH_TILE_CAPACITY", 4096))
+    quality = os.environ.get("BENCH_QUALITY", "fast")
 
-    cfg = gs.RasterizerConfig(width=width, height=height)
-    log(f"scene: {n_splats} splats, {width}x{height}, "
+    cfg = gs.RasterizerConfig(width=width, height=height, quality=quality)
+    log(f"scene: {n_splats} splats, {width}x{height}, quality={quality}, "
         f"tiles={cfg.tile_dims}, backend={jax.default_backend()}")
 
     t0 = time.perf_counter()
     cloud = gs.synthetic_scene(n_splats, seed=42, extent=4.0,
-                               scale_range=(0.004, 0.03))
+                               scale_range=(0.004, 0.03), surfaces=True)
+    if quality == "fast":
+        cloud = mortonize(cloud)
     log(f"scene built in {time.perf_counter()-t0:.1f}s")
 
-    # Per-frame cameras: a slow orbit, so every frame has fresh uniforms
-    # (no frame-to-frame caching shortcut).
     cams = gs.orbit_trajectory(n_frames, radius=5.0, target=(0, 0, 6.0))
     unis = jax.tree.map(lambda *xs: jnp.stack(xs),
                         *[make_uniforms(c, cfg) for c in cams])
 
-    def frame(carry, uni):
-        out = render_frame(cloud, uni, cfg, tile_capacity=tile_capacity)
-        # Consume the image so nothing is dead code; keep stats for reporting.
-        checksum = out.image[::64, ::64, :3].sum()
-        return carry + checksum, (out.stats.num_pairs, out.stats.max_tile_count)
+    if quality == "fast":
+        from godotgaussiansplatting_tpu.ops.fast_pipeline import \
+            render_frame_fast
+
+        def frame(carry, uni):
+            out = render_frame_fast(cloud, uni, cfg)
+            checksum = out.image[::64, ::64, :3].sum()
+            return carry + checksum, (out.stats.num_pairs,
+                                      out.stats.max_tile_count)
+    else:
+        from godotgaussiansplatting_tpu.ops.pipeline import render_frame
+
+        def frame(carry, uni):
+            out = render_frame(cloud, uni, cfg, tile_capacity=4096)
+            checksum = out.image[::64, ::64, :3].sum()
+            return carry + checksum, (out.stats.num_pairs,
+                                      out.stats.max_tile_count)
 
     @jax.jit
     def run_all(unis):

@@ -49,8 +49,10 @@ class StreamingLoader:
         chunks: int = 64,
         on_loaded: Optional[Callable[[], None]] = None,
         time_fn: Callable[[], float] = time.monotonic,
+        morton: bool = False,
     ):
         self._ply = ply
+        self._morton = morton
         self._chunks = max(1, min(chunks, ply.size))
         self._on_loaded = on_loaded
         self._time_fn = time_fn
@@ -99,6 +101,15 @@ class StreamingLoader:
         n = ply.size
         stride = -(-n // self._chunks)
         means, scales, quats, opac, sh = plyio.splat_arrays_from_ply(ply)
+        if self._morton:
+            # Fast-path rendering wants Morton-local blocks (ops/blocks.py);
+            # reorder host-side before chunking so streamed chunks land in
+            # their final positions.
+            from ..ops.blocks import morton_order
+            order = morton_order(means)
+            means, scales, quats, opac, sh = (
+                means[order], scales[order], quats[order], opac[order],
+                sh[order])
         for c in range(self._chunks):
             if self._cancel:
                 return

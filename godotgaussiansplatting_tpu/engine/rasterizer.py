@@ -49,8 +49,12 @@ class Rasterizer:
         tile_capacity: int = 2048,
         stream: bool = False,
         chunks: int = 64,
+        quality: str | None = None,
     ):
         base = config or RasterizerConfig()
+        if quality is not None:
+            base = base.replace(quality=quality)
+        self.quality = base.quality
         self._cfg = base.replace(width=int(texture_size[0]),
                                  height=int(texture_size[1]))
         self.camera = camera or Camera.reset_pose()
@@ -73,12 +77,16 @@ class Rasterizer:
             if stream:
                 self._t0 = time.monotonic()
                 self.loader = StreamingLoader(
-                    ply, chunks=chunks, time_fn=self._now).start()
+                    ply, chunks=chunks, time_fn=self._now,
+                    morton=(self.quality == "fast")).start()
                 self.cloud = self.loader.cloud
             else:
                 from ..models.splats import from_arrays
                 m, s, q, o, sh = plyio.splat_arrays_from_ply(ply)
                 self.cloud = from_arrays(m, s, q, o, sh)
+        if self.quality == "fast" and self.loader is None:
+            from ..models.splats import mortonize
+            self.cloud = mortonize(self.cloud)
 
         self.timings = StageTimings()
         self.last_frame: Optional[FrameOutput] = None
@@ -157,8 +165,13 @@ class Rasterizer:
         if self.loader is not None:
             self.cloud = self.loader.cloud  # pick up streamed chunks
         t0 = time.perf_counter()
-        out = render_frame_jit(self.cloud, self._uniforms(), self.config,
-                               tile_capacity=self.tile_capacity)
+        if self.quality == "fast":
+            from ..ops.fast_pipeline import render_frame_fast_jit
+            out = render_frame_fast_jit(self.cloud, self._uniforms(),
+                                        self.config)
+        else:
+            out = render_frame_jit(self.cloud, self._uniforms(), self.config,
+                                   tile_capacity=self.tile_capacity)
         if sync:
             force_readback(out.image)
             self.timings.record("Frame", (time.perf_counter() - t0) * 1e3)
@@ -186,7 +199,11 @@ class Rasterizer:
         if not (0 <= sx < gx and 0 <= sy < gy):
             return np.full(3, np.inf, np.float32)
         tile_id = sy * gx + sx
-        pos = np.asarray(pick_splat_position(self.last_frame, tile_id))
+        if self.quality == "fast":
+            from ..ops.fast_pipeline import pick_splat_position_fast
+            pos = np.asarray(pick_splat_position_fast(self.last_frame, tile_id))
+        else:
+            pos = np.asarray(pick_splat_position(self.last_frame, tile_id))
         if not np.all(np.isfinite(pos)):
             return np.full(3, np.inf, np.float32)
         # Host transform: basis_override⁻¹ · (−x, −y, z)  (:171)

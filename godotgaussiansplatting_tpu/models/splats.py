@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-PAD_MULTIPLE = 2048  # splat-axis padding granularity (TPU lane/sublane friendly)
+PAD_MULTIPLE = 4096  # splat-axis padding granularity (= ops.blocks.SUPERBLOCK)
 
 
 @jax.tree_util.register_dataclass
@@ -99,8 +99,8 @@ def from_arrays(
     (N, 16, 3) coeff-major RGB (degree<3 models zero-pad the tail).
     """
     n = means.shape[0]
-    cap = capacity or ((n + PAD_MULTIPLE - 1) // PAD_MULTIPLE * PAD_MULTIPLE)
-    cap = max(cap, PAD_MULTIPLE)
+    cap = capacity or n
+    cap = max(PAD_MULTIPLE, -(-cap // PAD_MULTIPLE) * PAD_MULTIPLE)
     cov6 = build_covariance(scales, quats_xyzw)
     if np.ndim(upload_time) == 0:
         upload_time = np.full((n,), float(upload_time), np.float32)
@@ -117,12 +117,35 @@ def from_arrays(
     )
 
 
+def mortonize(cloud: SplatCloud) -> SplatCloud:
+    """Reorder a cloud along a 3D Morton curve (host-side, one-time).
+
+    Required by the fast render path (ops/blocks.py): spatially local blocks
+    project to tight tile rects. Rendering semantics are order-independent
+    except for equal-depth16 tie-breaking (reference ties are GPU-race
+    nondeterministic anyway — SURVEY.md §2.1). Padding slots stay at the tail.
+    """
+    from ..ops.blocks import morton_order
+    n = cloud.num_splats
+    order = morton_order(np.asarray(cloud.means)[:n])
+    perm = np.arange(cloud.capacity)
+    perm[:n] = order
+
+    def r(a):
+        return jnp.asarray(np.asarray(a)[perm])
+
+    return SplatCloud(means=r(cloud.means), cov3d=r(cloud.cov3d),
+                      opacity=r(cloud.opacity), sh=r(cloud.sh),
+                      upload_time=r(cloud.upload_time), num_splats=n)
+
+
 def synthetic_scene(
     num_splats: int,
     seed: int = 0,
     extent: float = 4.0,
     scale_range: tuple = (0.005, 0.05),
     sh_degree: int = 3,
+    surfaces: bool = False,
 ) -> SplatCloud:
     """Deterministic random scene for tests and benchmarks.
 
@@ -131,7 +154,30 @@ def synthetic_scene(
     """
     rng = np.random.default_rng(seed)
     n = num_splats
-    means = rng.uniform(-extent, extent, (n, 3)).astype(np.float32)
+    if surfaces:
+        # Photogrammetry-like distribution: splats concentrate on ~2D surface
+        # patches (walls/ground/foliage), matching how trained 3DGS models
+        # (bicycle/garden) are structured — and what the reference's README
+        # numbers were measured on. Uniform volumetric noise is a worst case
+        # no real model exhibits.
+        k = max(64, n // 4096)               # number of surface patches
+        centers = rng.uniform(-extent, extent, (k, 3)).astype(np.float32)
+        normals = rng.normal(size=(k, 3)).astype(np.float32)
+        normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+        sizes = rng.uniform(0.15, 0.8, (k, 1)).astype(np.float32) * extent * 0.4
+        u = rng.normal(size=(k, 3)).astype(np.float32)
+        u -= (u * normals).sum(-1, keepdims=True) * normals
+        u /= np.linalg.norm(u, axis=-1, keepdims=True)
+        v = np.cross(normals, u)
+        pid = rng.integers(0, k, n)
+        a = rng.normal(size=(n, 1)).astype(np.float32)
+        b = rng.normal(size=(n, 1)).astype(np.float32)
+        c = rng.normal(0, 0.02, (n, 1)).astype(np.float32)  # surface thickness
+        means = (centers[pid] + sizes[pid] * (a * u[pid] + b * v[pid])
+                 + c * extent * normals[pid]).astype(np.float32)
+        means = np.clip(means, -1.6 * extent, 1.6 * extent)
+    else:
+        means = rng.uniform(-extent, extent, (n, 3)).astype(np.float32)
     # Push the cloud in front of the default camera (which looks down -Z from
     # the origin in the reference world, i.e. +Z in PLY frame after negation).
     means[:, 2] += extent * 1.5

@@ -1,0 +1,181 @@
+"""Block-hierarchical frame preparation for the TPU fast path.
+
+Design rationale (measured on v5e, see SURVEY.md §7 hard parts): XLA's global
+sort (~0.36 Gkeys/s), gather and scatter (~0.1-0.15 Gelem/s) make the
+reference's pair-level pipeline (sort 10-30M duplicated keys, gather 48 B
+payload rows per pair — gsplat_projection.glsl:216-226, radix_sort_*.glsl)
+untenable on TPU. The one fast data-movement primitive is the *batched
+row-wise sort* (~3 Gkeys/s, and variadic payload operands ride along almost
+free). So the fast path never builds per-pair structures:
+
+  * splats are Morton-ordered once at load into fixed blocks of BLOCK_SIZE;
+  * per frame, each block's splats are depth-sorted by one variadic row sort
+    (payload permuted in the same op);
+  * per-block tile rects / min depth come from block reductions;
+  * tiles bin whole *blocks* (~100-300K tile-block pairs instead of 10-30M
+    splat-tile pairs), via row-sort-as-compaction (ops/binning.py);
+  * the render kernel streams contiguous block payloads (no gathers) and
+    relies on exp(-large) ≈ 0 to neutralize block members outside the tile.
+
+Ordering semantics: within a block, exact 16-bit depth order (same key as
+gsplat_projection.glsl:218); across blocks in a tile, ordered by block min
+depth. Cross-block inversions are bounded by block depth-range overlap; the
+PSNR-vs-exact test gates the quality (the reference's own equal-key order is
+GPU-race nondeterministic, so bit-exactness was never defined).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RasterizerConfig
+from .projection import ProjectedSplats
+
+BLOCK_SIZE = 128          # splats per block (tight rects vs DMA efficiency)
+PAYLOAD_WIDTH = 12        # f32 lanes per splat payload row
+
+# payload row layout: [ipos_x, ipos_y, conic_a, conic_b, conic_c,
+#                      r, g, b, opacity, depth16, radius, pad]
+_CULL_FAR = -1.0e6        # culled splats park far off-screen: exp(-huge) == 0
+
+
+def morton_order(means: np.ndarray, bits: int = 10) -> np.ndarray:
+    """Host-side Morton (Z-curve) argsort of splat positions. Run once at
+    load; gives blocks spatial locality so their projected rects stay tight."""
+    p = np.asarray(means, np.float64)
+    lo = p.min(axis=0)
+    span = np.maximum(p.max(axis=0) - lo, 1e-9)
+    q = np.clip(((p - lo) / span * (2**bits - 1)), 0, 2**bits - 1).astype(np.uint64)
+
+    def spread(x):
+        x &= 0x3FF
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    code = (spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2))
+    return np.argsort(code, kind="stable")
+
+
+class BlockFrame(NamedTuple):
+    """Per-frame block-level state feeding binning + render."""
+
+    payload: jnp.ndarray      # (B, PAYLOAD_WIDTH, S) f32, depth-sorted per block;
+                              # rows: [ipos_x, ipos_y, conic_a, conic_b,
+                              #        conic_c, r, g, b, opacity, depth16,
+                              #        radius, 0]
+    pos: jnp.ndarray          # (B, 3, S) f32 world positions (picking channel)
+    rect: jnp.ndarray         # (B, 4) i32 block tile rect [x0, y0, x1, y1)
+    min_depth: jnp.ndarray    # (B,) u32 min depth16 over valid members
+    num_valid: jnp.ndarray    # (B,) i32 surviving splats per block
+    num_culled_pairs: jnp.ndarray  # () i32 — splat-tile pair count (stats parity
+                                   # with the reference's sort_buffer_size)
+
+
+SUPERBLOCK = 4096  # splats re-clustered together per frame (32 blocks)
+
+
+def build_block_frame(prj: ProjectedSplats, cfg: RasterizerConfig) -> BlockFrame:
+    """ProjectedSplats (padded P = B*S splats, Morton order) → BlockFrame.
+
+    Per-frame screen-space re-clustering: within each Morton *superblock* of
+    SUPERBLOCK splats, splats are sorted by (center-tile, depth16) — one
+    variadic row sort — and then cut into blocks of S. Because Morton
+    superblocks are spatially local, the sorted runs make each block cover a
+    handful of adjacent tiles at consecutive depths: tight rects (low render
+    dilution) and near-sequential cross-block depth order within a tile. This
+    is the TPU answer to the reference's global per-pair radix sort.
+    """
+    S = BLOCK_SIZE
+    P = prj.valid.shape[0]
+    assert P % SUPERBLOCK == 0, (
+        f"splat capacity {P} must be a multiple of {SUPERBLOCK}")
+    B = P // S
+    SB = P // SUPERBLOCK
+    gx, _ = cfg.tile_dims
+
+    valid_sb = prj.valid.reshape(SB, SUPERBLOCK)
+    depth_sb = prj.depth16.reshape(SB, SUPERBLOCK).astype(jnp.uint32)
+    ipos_sb = prj.image_pos.reshape(SB, SUPERBLOCK, 2)
+    ts = float(cfg.tile_size)
+    ctx = jnp.clip((ipos_sb[..., 0] / ts).astype(jnp.int32), 0, gx - 1)
+    cty = jnp.clip((ipos_sb[..., 1] / ts).astype(jnp.int32), 0, 1 << 14)
+    ctile = (cty * gx + ctx).astype(jnp.uint32)
+
+    # Sort key: center_tile<<16 | depth16 for valid splats; invalid splats
+    # sink to the superblock tail. Stable → equal keys keep Morton order
+    # (deterministic, unlike the reference's atomic-race buffer order).
+    key = jnp.where(valid_sb, (ctile << 16) | depth_sb,
+                    jnp.uint32(0xFFFFFFFF))
+
+    ipos = ipos_sb
+    conic = prj.conic.reshape(SB, SUPERBLOCK, 3)
+    color = prj.color.reshape(SB, SUPERBLOCK, 4)
+    valid = valid_sb
+
+    opacity = jnp.where(valid, color[..., 3], 0.0)
+    px = jnp.where(valid, ipos[..., 0], _CULL_FAR)
+    py = jnp.where(valid, ipos[..., 1], _CULL_FAR)
+    ca = jnp.where(valid, conic[..., 0], 1.0)
+    cb = jnp.where(valid, conic[..., 1], 0.0)
+    cc = jnp.where(valid, conic[..., 2], 1.0)
+
+    wpos = prj.pos.reshape(SB, SUPERBLOCK, 3)
+    # Culled splats keep radius 0: with ipos parked far away the rect-coverage
+    # test in the kernel rejects them for every tile.
+    radius = jnp.where(valid, prj.radius.reshape(SB, SUPERBLOCK), 0.0)
+    # Rect rides along too: block membership is decided by this sort, so the
+    # per-block rect/min-depth reductions must see the *sorted* positions.
+    rect0 = prj.rect.reshape(SB, SUPERBLOCK, 4)
+    big = jnp.int32(1 << 20)
+    rx0 = jnp.where(valid, rect0[..., 0], big)
+    ry0 = jnp.where(valid, rect0[..., 1], big)
+    rx1 = jnp.where(valid, rect0[..., 2], -big)
+    ry1 = jnp.where(valid, rect0[..., 3], -big)
+
+    operands = (key, px, py, ca, cb, cc,
+                color[..., 0], color[..., 1], color[..., 2], opacity,
+                depth_sb.astype(jnp.float32), radius,
+                wpos[..., 0], wpos[..., 1], wpos[..., 2],
+                rx0, ry0, rx1, ry1,
+                valid.astype(jnp.int32))
+    sorted_ops = jax.lax.sort(operands, dimension=1, num_keys=1,
+                              is_stable=True)
+
+    def blk(x):  # (SB, SUPERBLOCK[, ...]) → (B, S[, ...])
+        return x.reshape(B, S, *x.shape[2:])
+
+    pos_sorted = jnp.stack([blk(o) for o in sorted_ops[12:15]], axis=1)
+    pay = jnp.stack([blk(o) for o in sorted_ops[1:12]], axis=1)   # (B, 11, S)
+    pad = jnp.zeros((B, PAYLOAD_WIDTH - pay.shape[1], S), pay.dtype)
+    payload = jnp.concatenate([pay, pad], axis=1)                 # (B, PW, S)
+
+    srx0, sry0, srx1, sry1 = (blk(o) for o in sorted_ops[15:19])
+    svalid = blk(sorted_ops[19]) > 0
+    sdepth = blk((sorted_ops[0] & jnp.uint32(0xFFFF)))
+
+    lo = jnp.stack([jnp.min(srx0, axis=1), jnp.min(sry0, axis=1)], -1)
+    hi = jnp.stack([jnp.max(srx1, axis=1), jnp.max(sry1, axis=1)], -1)
+    empty = ~jnp.any(svalid, axis=1)
+    block_rect = jnp.where(
+        empty[:, None],
+        jnp.zeros((B, 4), jnp.int32),
+        jnp.concatenate([lo, jnp.maximum(hi, lo)], axis=-1).astype(jnp.int32))
+
+    min_depth = jnp.min(jnp.where(svalid, sdepth, jnp.uint32(0xFFFFFFFF)),
+                        axis=1)
+    num_valid = jnp.sum(svalid, axis=1).astype(jnp.int32)
+    return BlockFrame(
+        payload=payload,
+        pos=pos_sorted,
+        rect=block_rect,
+        min_depth=min_depth,
+        num_valid=num_valid,
+        num_culled_pairs=jnp.sum(prj.num_tiles).astype(jnp.int32),
+    )

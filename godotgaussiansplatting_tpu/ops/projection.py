@@ -44,6 +44,7 @@ class ProjectedSplats(NamedTuple):
     depth16: jnp.ndarray     # (P,)  u32  — quantized depth key (low 16 bits)
     rect: jnp.ndarray        # (P, 4) i32  — tile rect [x0, y0, x1, y1), clamped
     num_tiles: jnp.ndarray   # (P,)  i32  — tiles touched (0 if culled)
+    radius: jnp.ndarray      # (P,)  f32  — opacity-biased splat radius (px)
     pos: jnp.ndarray         # (P, 3) f32  — model-scaled PLY-frame position (picking)
 
 
@@ -177,5 +178,6 @@ def project_splats(
         depth16=depth16,
         rect=jnp.concatenate([lo, hi], axis=-1),
         num_tiles=nt,
+        radius=radius,
         pos=splat_pos,
     )

@@ -1,0 +1,107 @@
+"""Fast-path (block-hierarchical + Pallas render) tests, interpret mode on CPU."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from godotgaussiansplatting_tpu import (Camera, RasterizerConfig,
+                                        render_frame_jit, synthetic_scene)
+from godotgaussiansplatting_tpu.models.splats import from_arrays
+from godotgaussiansplatting_tpu.ops.blocks import BLOCK_SIZE, morton_order
+from godotgaussiansplatting_tpu.ops.fast_pipeline import (
+    pick_splat_position_fast, render_frame_fast)
+from godotgaussiansplatting_tpu.ops.pipeline import make_uniforms
+
+
+def _mortonize(cloud):
+    order = morton_order(np.asarray(cloud.means)[:cloud.num_splats])
+    full = np.arange(cloud.capacity)
+    full[:cloud.num_splats] = order
+    return dataclasses.replace(
+        cloud, means=cloud.means[full], cov3d=cloud.cov3d[full],
+        opacity=cloud.opacity[full], sh=cloud.sh[full],
+        upload_time=cloud.upload_time[full])
+
+
+def _psnr(a, b):
+    mse = float(((a - b) ** 2).mean())
+    return 10 * np.log10(1.0 / max(mse, 1e-12))
+
+
+def test_single_center_tile_matches_exact():
+    """All splats share one center tile → the (tile, depth) cluster sort
+    leaves pure depth order, so the fast path must match the exact pipeline
+    to float tolerance (kernel math + ordering both exercised: the splats
+    span many tiles via large radii)."""
+    rng = np.random.default_rng(0)
+    n = 512
+    means = np.zeros((n, 3), np.float32)
+    z = rng.uniform(2.0, 8.0, n).astype(np.float32)   # wide depth range
+    # Constant NDC position (x ∝ z) keeps every center inside ONE tile —
+    # centers that straddle a tile boundary legitimately allow cross-block
+    # inversions, which is not what this test probes.
+    means[:, 0] = (-0.15 + rng.uniform(-0.01, 0.01, n)) * z
+    means[:, 1] = (-0.15 + rng.uniform(-0.01, 0.01, n)) * z
+    means[:, 2] = z
+    scales = rng.uniform(0.05, 0.25, (n, 3)).astype(np.float32)
+    q = rng.normal(size=(n, 4)).astype(np.float32)
+    opac = rng.uniform(0.3, 0.9, (n,)).astype(np.float32)
+    sh = np.zeros((n, 16, 3), np.float32)
+    sh[:, 0] = rng.uniform(0, 2, (n, 3))
+    cloud = from_arrays(means, scales, q, opac, sh)
+
+    cfg = RasterizerConfig(width=96, height=96,
+                           reference_boundary_quirk=False)
+    uni = make_uniforms(Camera.reset_pose(), cfg)
+    fast = render_frame_fast(cloud, uni, cfg, interpret=True)
+    exact = render_frame_jit(cloud, uni, cfg, tile_capacity=1024)
+    np.testing.assert_allclose(np.asarray(fast.image),
+                               np.asarray(exact.image), atol=1e-3)
+
+
+def test_random_scene_psnr():
+    """Random scene: block ordering is approximate; PSNR must stay high."""
+    cfg = RasterizerConfig(width=128, height=128,
+                           reference_boundary_quirk=False)
+    cloud = _mortonize(synthetic_scene(4000, seed=5, extent=2.5,
+                                       scale_range=(0.01, 0.08)))
+    uni = make_uniforms(Camera.reset_pose(), cfg)
+    fast = render_frame_fast(cloud, uni, cfg, interpret=True)
+    exact = render_frame_jit(cloud, uni, cfg, tile_capacity=512)
+    p = _psnr(np.asarray(fast.image)[:, :, :3],
+              np.asarray(exact.image)[:, :, :3])
+    assert p > 28.0, f"fast-path PSNR too low: {p:.1f} dB"
+
+
+def test_early_exit_changes_nothing():
+    cfg = RasterizerConfig(width=64, height=64,
+                           reference_boundary_quirk=False)
+    cloud = _mortonize(synthetic_scene(2000, seed=7, extent=2.0,
+                                       scale_range=(0.02, 0.1)))
+    uni = make_uniforms(Camera.reset_pose(), cfg)
+    a = render_frame_fast(cloud, uni, cfg, interpret=True, early_exit=True)
+    b = render_frame_fast(cloud, uni, cfg, interpret=True, early_exit=False)
+    np.testing.assert_allclose(np.asarray(a.image), np.asarray(b.image),
+                               atol=1e-6)
+
+
+def test_heatmap_and_picking_fast():
+    cfg = RasterizerConfig(width=64, height=64,
+                           reference_boundary_quirk=False)
+    cloud = _mortonize(synthetic_scene(2000, seed=3, extent=1.5,
+                                       scale_range=(0.02, 0.1)))
+    uni = make_uniforms(Camera.reset_pose(), cfg)
+    base = render_frame_fast(cloud, uni, cfg, interpret=True)
+    hm = render_frame_fast(cloud, uni._replace(
+        heatmap_factor=base.image.dtype.type(1.0)), cfg, interpret=True)
+    assert np.abs(np.asarray(hm.image) - np.asarray(base.image)).max() > 1e-3
+
+    # picking: center tile should be occupied
+    gx, _ = cfg.tile_dims
+    tile = (2 * gx) + 2
+    pos = np.asarray(pick_splat_position_fast(base, tile))
+    assert np.all(np.isfinite(pos))
+    # off-scene tile (top-left corner likely empty in this scene) → inf or hit;
+    # at minimum the API returns a well-formed vector
+    assert pos.shape == (3,)
