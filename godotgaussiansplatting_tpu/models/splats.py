@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-PAD_MULTIPLE = 4096  # splat-axis padding granularity (= ops.blocks.SUPERBLOCK)
+PAD_MULTIPLE = 16384  # splat-axis padding granularity (= ops.blocks.SUPERBLOCK)
 
 
 @jax.tree_util.register_dataclass
@@ -183,7 +183,15 @@ def synthetic_scene(
     means[:, 2] += extent * 1.5
     scales = rng.uniform(*scale_range, (n, 3)).astype(np.float32)
     quats = rng.normal(size=(n, 4)).astype(np.float32)
-    opac = rng.uniform(0.2, 1.0, (n,)).astype(np.float32)
+    if surfaces:
+        # Trained 3DGS opacity is bimodal: most surface splats are near
+        # opaque, a minority is wispy (this drives the reference's saturation
+        # early-exit, gsplat_render.glsl:45-48).
+        opac = np.where(rng.random(n) < 0.7,
+                        rng.uniform(0.85, 1.0, n),
+                        rng.uniform(0.05, 0.6, n)).astype(np.float32)
+    else:
+        opac = rng.uniform(0.2, 1.0, (n,)).astype(np.float32)
     ncoef = (sh_degree + 1) ** 2
     sh = np.zeros((n, 16, 3), np.float32)
     sh[:, 0] = rng.uniform(-1.0, 2.0, (n, 3))  # DC around mid-grey after the +0.5

@@ -78,10 +78,11 @@ def bin_blocks(
          jnp.broadcast_to(r[:, 1][None], (NS, B)),
          jnp.broadcast_to(r[:, 2][None], (NS, B)),
          jnp.broadcast_to(r[:, 3][None], (NS, B)),
-         jnp.broadcast_to(bf.num_valid[None], (NS, B))),
+         jnp.broadcast_to(bf.num_valid[None], (NS, B)),
+         jnp.broadcast_to(bf.bitmap[None], (NS, B))),
         dimension=1, num_keys=1, is_stable=True)
     k1s = ops[0][:, :C1]
-    cand_id, cx0, cy0, cx1, cy1, cnv = (o[:, :C1] for o in ops[1:])
+    cand_id, cx0, cy0, cx1, cy1, cnv, cbm = (o[:, :C1] for o in ops[1:])
     cand_valid = k1s != inf                         # (NS, C1)
     n_cover_total = jnp.sum(covers)
     n_kept_l1 = jnp.sum(cand_valid)
@@ -96,10 +97,18 @@ def bin_blocks(
     txx = txx.reshape(NS, SUPER * SUPER)            # (NS, 64)
     tyy = tyy.reshape(NS, SUPER * SUPER)
 
+    # Rect test + coverage-bitmap test (ops/blocks.py): the tile's subcell
+    # bit must be set, pruning tiles under the empty parts of sparse rects.
+    sw = jnp.maximum(-(-(cx1 - cx0) // 8), 1)[:, None, :]
+    sh_ = jnp.maximum(-(-(cy1 - cy0) // 4), 1)[:, None, :]
+    sbx = jnp.clip((txx[:, :, None] - cx0[:, None, :]) // sw, 0, 7)
+    sby = jnp.clip((tyy[:, :, None] - cy0[:, None, :]) // sh_, 0, 3)
+    bit = (cbm[:, None, :] >> (8 * sby + sbx).astype(jnp.uint32)) & 1
     covers_t = ((cx0[:, None, :] <= txx[:, :, None])
                 & (txx[:, :, None] < cx1[:, None, :])
                 & (cy0[:, None, :] <= tyy[:, :, None])
                 & (tyy[:, :, None] < cy1[:, None, :])
+                & (bit > 0)
                 & cand_valid[:, None, :])           # (NS, 64, C1)
 
     pos = jnp.broadcast_to(

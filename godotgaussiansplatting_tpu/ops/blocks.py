@@ -45,7 +45,15 @@ _CULL_FAR = -1.0e6        # culled splats park far off-screen: exp(-huge) == 0
 
 def morton_order(means: np.ndarray, bits: int = 10) -> np.ndarray:
     """Host-side Morton (Z-curve) argsort of splat positions. Run once at
-    load; gives blocks spatial locality so their projected rects stay tight."""
+    load; gives blocks spatial locality so their projected rects stay tight.
+    Uses the native C++ kernel (native/plyio.cpp) when available."""
+    try:
+        from ..native import available, morton3
+        if available():
+            return np.argsort(morton3(np.asarray(means, np.float32)),
+                              kind="stable")
+    except Exception:
+        pass
     p = np.asarray(means, np.float64)
     lo = p.min(axis=0)
     span = np.maximum(p.max(axis=0) - lo, 1e-9)
@@ -72,13 +80,16 @@ class BlockFrame(NamedTuple):
                               #        radius, 0]
     pos: jnp.ndarray          # (B, 3, S) f32 world positions (picking channel)
     rect: jnp.ndarray         # (B, 4) i32 block tile rect [x0, y0, x1, y1)
+    bitmap: jnp.ndarray       # (B,) u32 8×4 coverage bitmap over the rect
     min_depth: jnp.ndarray    # (B,) u32 min depth16 over valid members
     num_valid: jnp.ndarray    # (B,) i32 surviving splats per block
     num_culled_pairs: jnp.ndarray  # () i32 — splat-tile pair count (stats parity
                                    # with the reference's sort_buffer_size)
 
 
-SUPERBLOCK = 4096  # splats re-clustered together per frame (32 blocks)
+SUPERBLOCK = 16384  # splats re-clustered together per frame (128 blocks)
+CELL_SHIFT = 1     # screen-cluster cell edge in tiles = 2^CELL_SHIFT
+BIG_RADIUS = 32.0  # px; splats at least this wide cluster depth-major
 
 
 def build_block_frame(prj: ProjectedSplats, cfg: RasterizerConfig) -> BlockFrame:
@@ -104,14 +115,39 @@ def build_block_frame(prj: ProjectedSplats, cfg: RasterizerConfig) -> BlockFrame
     depth_sb = prj.depth16.reshape(SB, SUPERBLOCK).astype(jnp.uint32)
     ipos_sb = prj.image_pos.reshape(SB, SUPERBLOCK, 2)
     ts = float(cfg.tile_size)
-    ctx = jnp.clip((ipos_sb[..., 0] / ts).astype(jnp.int32), 0, gx - 1)
-    cty = jnp.clip((ipos_sb[..., 1] / ts).astype(jnp.int32), 0, 1 << 14)
-    ctile = (cty * gx + ctx).astype(jnp.uint32)
+    _, gy = cfg.tile_dims
+    # Cluster cell = 2^CELL_SHIFT × 2^CELL_SHIFT tiles. Finer cells → tighter
+    # block rects (less render dilution); coarser cells → longer depth-sorted
+    # runs (fewer cross-block inversions). 1 (= 32px cells) balances both.
+    cell = CELL_SHIFT
+    ctx = (jnp.clip((ipos_sb[..., 0] / ts).astype(jnp.int32), 0, gx - 1)
+           .astype(jnp.uint32) >> cell)
+    cty = (jnp.clip((ipos_sb[..., 1] / ts).astype(jnp.int32), 0, gy - 1)
+           .astype(jnp.uint32) >> cell)
 
-    # Sort key: center_tile<<16 | depth16 for valid splats; invalid splats
-    # sink to the superblock tail. Stable → equal keys keep Morton order
-    # (deterministic, unlike the reference's atomic-race buffer order).
-    key = jnp.where(valid_sb, (ctile << 16) | depth_sb,
+    # 2D Morton code of the center tile (8+8 bits covers grids to 256×256
+    # tiles = 4K): consecutive sorted splats are 2D-adjacent on screen, so
+    # blocks get compact square-ish rects. Plain row-major tile ids would
+    # wrap rows and blow block rects up to full image width.
+    def spread8(v):
+        v = (v | (v << 4)) & jnp.uint32(0x0F0F)
+        v = (v | (v << 2)) & jnp.uint32(0x3333)
+        v = (v | (v << 1)) & jnp.uint32(0x5555)
+        return v
+
+    morton = spread8(ctx & 0xFF) | (spread8(cty & 0xFF) << 1)
+
+    # Big-splat segregation: a single wide splat in a block inflates the
+    # whole block's rect union (the binning must be conservative), multiplying
+    # render dilution, and its depth range wrecks min-depth ordering. Splats
+    # with radius ≥ BIG_RADIUS px sort into a separate key region (bit 31),
+    # clustered depth-major so big blocks stay depth-thin and order well.
+    radius_sb = prj.radius.reshape(SB, SUPERBLOCK)
+    big = radius_sb >= BIG_RADIUS
+    key_small = ((morton & 0x7FFF) << 16) | depth_sb
+    key_big = (jnp.uint32(0x80000000) | (depth_sb << 8)
+               | ((morton >> 8) & 0xFF))
+    key = jnp.where(valid_sb, jnp.where(big, key_big, key_small),
                     jnp.uint32(0xFFFFFFFF))
 
     ipos = ipos_sb
@@ -158,7 +194,7 @@ def build_block_frame(prj: ProjectedSplats, cfg: RasterizerConfig) -> BlockFrame
 
     srx0, sry0, srx1, sry1 = (blk(o) for o in sorted_ops[15:19])
     svalid = blk(sorted_ops[19]) > 0
-    sdepth = blk((sorted_ops[0] & jnp.uint32(0xFFFF)))
+    sdepth = pay[:, 9].astype(jnp.uint32)        # (B, S) depth lane
 
     lo = jnp.stack([jnp.min(srx0, axis=1), jnp.min(sry0, axis=1)], -1)
     hi = jnp.stack([jnp.max(srx1, axis=1), jnp.max(sry1, axis=1)], -1)
@@ -168,6 +204,27 @@ def build_block_frame(prj: ProjectedSplats, cfg: RasterizerConfig) -> BlockFrame
         jnp.zeros((B, 4), jnp.int32),
         jnp.concatenate([lo, jnp.maximum(hi, lo)], axis=-1).astype(jnp.int32))
 
+    # 8×4 coverage bitmap over the block rect: a block whose members cluster
+    # in a few spots of a wide rect (Morton-jump stragglers, depth spread)
+    # must not bin into every tile of the rect union. Bit (y, x) is set when
+    # any member rect intersects that subcell; binning tests the tile's
+    # subcell bit (ops/binning.py).
+    bx0g, by0g = block_rect[:, 0:1], block_rect[:, 1:2]
+    sw = jnp.maximum(-(-(block_rect[:, 2:3] - bx0g) // 8), 1)
+    sh_ = jnp.maximum(-(-(block_rect[:, 3:4] - by0g) // 4), 1)
+    cx0 = jnp.clip((srx0 - bx0g) // sw, 0, 7)
+    cx1 = jnp.clip(-(-(srx1 - bx0g) // sw), cx0 + 1, 8)
+    cy0 = jnp.clip((sry0 - by0g) // sh_, 0, 3)
+    cy1 = jnp.clip(-(-(sry1 - by0g) // sh_), cy0 + 1, 4)
+    colmask = ((jnp.uint32(1) << cx1.astype(jnp.uint32))
+               - (jnp.uint32(1) << cx0.astype(jnp.uint32)))
+    bits = jnp.zeros_like(colmask)
+    for yrow in range(4):
+        bits = bits | jnp.where(
+            (cy0 <= yrow) & (yrow < cy1), colmask << (8 * yrow), 0)
+    bits = jnp.where(svalid, bits, 0)
+    bitmap = jax.lax.reduce(bits, jnp.uint32(0), jax.lax.bitwise_or, (1,))
+
     min_depth = jnp.min(jnp.where(svalid, sdepth, jnp.uint32(0xFFFFFFFF)),
                         axis=1)
     num_valid = jnp.sum(svalid, axis=1).astype(jnp.int32)
@@ -175,6 +232,7 @@ def build_block_frame(prj: ProjectedSplats, cfg: RasterizerConfig) -> BlockFrame
         payload=payload,
         pos=pos_sorted,
         rect=block_rect,
+        bitmap=bitmap,
         min_depth=min_depth,
         num_valid=num_valid,
         num_culled_pairs=jnp.sum(prj.num_tiles).astype(jnp.int32),

@@ -103,6 +103,21 @@ def render_frame_jit(cloud, uniforms, cfg, tile_capacity=2048):
     return render_frame(cloud, uniforms, cfg, tile_capacity)
 
 
+def render_multiview(
+    cloud: SplatCloud,
+    uniforms_batched: FrameUniforms,   # every leaf has a leading view axis
+    cfg: RasterizerConfig,
+    tile_capacity: int = 2048,
+) -> jnp.ndarray:
+    """Batched multi-view rendering on one chip (BASELINE config 5: N cameras
+    per step): sequential map over the view axis, sharing the splat model.
+    For multi-chip view parallelism see parallel/sharded.py."""
+    def one(uni):
+        return render_frame(cloud, uni, cfg, tile_capacity).image
+
+    return jax.lax.map(one, uniforms_batched)
+
+
 def pick_splat_position(
     frame: FrameOutput,
     tile_id: int | jnp.ndarray,

@@ -64,12 +64,18 @@ def emit_and_sort(
     base_tile = rect[:, 1] * gx + rect[:, 0]             # top-left tile id
     splat_ids = jnp.arange(P, dtype=jnp.int32)
 
-    keys = jnp.full((k_max,), INVALID_KEY, dtype=jnp.uint32)
-    vals = jnp.zeros((k_max,), dtype=jnp.int32)
+    # Derive the initial buffers from an input so they inherit its sharding
+    # varying-axes under shard_map (a constant carry would mismatch the
+    # device-varying loop output in the multi-chip path).
+    keys0 = jnp.broadcast_to((depth16[0] * 0) + jnp.uint32(INVALID_KEY),
+                             (k_max,))
+    vals0 = jnp.broadcast_to(jnp.int32(0) * num_tiles[0], (k_max,))
 
-    # One masked scatter per static slot t: slot t of splat i addresses the
-    # t-th tile of its rect in row-major order (gsplat_projection.glsl:219-226).
-    for t in range(max_t):
+    # One masked scatter per slot t: slot t of splat i addresses the t-th
+    # tile of its rect in row-major order (gsplat_projection.glsl:219-226).
+    # fori_loop keeps compile time flat in max_t.
+    def emit(t, kv):
+        keys, vals = kv
         live = proj_valid & (t < nt_capped)
         ty = t // rect_w
         tx = t - ty * rect_w
@@ -78,6 +84,9 @@ def emit_and_sort(
         dest = jnp.where(live, offsets + t, k_max)       # k_max → dropped
         keys = keys.at[dest].set(key_t, mode="drop", unique_indices=True)
         vals = vals.at[dest].set(splat_ids, mode="drop", unique_indices=True)
+        return keys, vals
+
+    keys, vals = jax.lax.fori_loop(0, max_t, emit, (keys0, vals0))
 
     skeys, svals = jax.lax.sort_key_val(keys, vals, is_stable=True)
     return SortedPairs(keys=skeys, values=svals,
