@@ -60,40 +60,40 @@ def main():
 
     if quality == "fast":
         from godotgaussiansplatting_tpu.ops.fast_pipeline import \
-            render_frame_fast
+            render_frame_fast_staged
 
-        def frame(carry, uni):
-            out = render_frame_fast(cloud, uni, cfg)
-            checksum = out.image[::64, ::64, :3].sum()
-            return carry + checksum, (out.stats.num_pairs,
-                                      out.stats.max_tile_count)
+        def frame(uni):
+            out = render_frame_fast_staged(cloud, uni, cfg)
+            return (out.image[::64, ::64, :3].sum(),
+                    out.stats.num_pairs, out.stats.max_tile_count)
     else:
         from godotgaussiansplatting_tpu.ops.pipeline import render_frame
 
-        def frame(carry, uni):
+        @jax.jit
+        def frame(uni):
             out = render_frame(cloud, uni, cfg, tile_capacity=4096)
-            checksum = out.image[::64, ::64, :3].sum()
-            return carry + checksum, (out.stats.num_pairs,
-                                      out.stats.max_tile_count)
+            return (out.image[::64, ::64, :3].sum(),
+                    out.stats.num_pairs, out.stats.max_tile_count)
 
-    @jax.jit
-    def run_all(unis):
-        return jax.lax.scan(frame, jnp.float32(0.0), unis)
+    def get_uni(i):
+        return jax.tree.map(lambda x: x[i], unis)
 
     log("compiling...")
     t0 = time.perf_counter()
-    acc, (pairs, maxtile) = run_all(unis)
+    acc, pairs, maxtile = frame(get_uni(0))
     float(np.asarray(acc))  # force full execution (block_until_ready is
                             # unreliable on the tunneled axon platform)
     log(f"compile+first run: {time.perf_counter()-t0:.1f}s; "
-        f"pairs/frame={int(np.asarray(pairs)[0])}, "
-        f"max tile load={int(np.asarray(maxtile).max())}")
+        f"pairs/frame={int(pairs)}, max tile load={int(maxtile)}")
 
+    # Interactive render loop: fresh camera per frame, per-frame host sync
+    # (the ~20 ms tunnel dispatch overhead is charged against us).
     times = []
-    for _ in range(3):
+    for rep in range(2):
         t0 = time.perf_counter()
-        acc, _ = run_all(unis)
-        float(np.asarray(acc))
+        for i in range(n_frames):
+            acc, _, _ = frame(get_uni(i))
+            float(np.asarray(acc))
         times.append((time.perf_counter() - t0) / n_frames)
     dt = min(times)
     fps = 1.0 / dt

@@ -166,9 +166,9 @@ class Rasterizer:
             self.cloud = self.loader.cloud  # pick up streamed chunks
         t0 = time.perf_counter()
         if self.quality == "fast":
-            from ..ops.fast_pipeline import render_frame_fast_jit
-            out = render_frame_fast_jit(self.cloud, self._uniforms(),
-                                        self.config)
+            from ..ops.fast_pipeline import render_frame_fast_staged
+            out = render_frame_fast_staged(self.cloud, self._uniforms(),
+                                           self.config)
         else:
             out = render_frame_jit(self.cloud, self._uniforms(), self.config,
                                    tile_capacity=self.tile_capacity)

@@ -146,19 +146,37 @@ def _render_kernel(
         power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
         alpha = jnp.where(covered, op * jnp.exp(power), 0.0)  # (:86)
 
-        p_excl = _lane_cumprod_exclusive(1.0 - alpha)
-        t_cur = t_px * p_excl                      # (NPX, S) running t
-        live = t_cur > min_alpha                   # `t > MIN_ALPHA` (:79)
-        w = jnp.where(live, alpha * t_cur, 0.0)
+        def exact_blend(alpha):
+            p_excl = _lane_cumprod_exclusive(1.0 - alpha)
+            t_cur = t_px * p_excl                  # (NPX, S) running t
+            live = t_cur > min_alpha               # `t > MIN_ALPHA` (:79)
+            w = jnp.where(live, alpha * t_cur, 0.0)
+            t_new = t_px * jnp.min(
+                jnp.where(live, p_excl * (1.0 - alpha), 1.0),
+                axis=1, keepdims=True)             # (NPX, 1)
+            return w, t_new
+
+        def additive_blend(alpha):
+            # Weak-block shortcut: when every alpha ≤ 1/2048 the intra-block
+            # prefix products are 1 within ≤ S/2048 relative error, so the
+            # O(S log S) transmittance chain collapses to an additive pass
+            # (absolute pixel error < 1e-3 — below the oracle tolerance).
+            live = t_px > min_alpha                # (NPX, 1)
+            w = jnp.where(live, alpha * t_px, 0.0)
+            # Π(1-αᵢ) ≈ 1-Σαᵢ for αᵢ ≤ 1/2048 (error ≤ (Σα)²/2 ≤ 0.2%;
+            # Mosaic has no reduce_prod).
+            total = jnp.maximum(
+                1.0 - jnp.sum(alpha, axis=1, keepdims=True), 0.0)
+            t_new = t_px * jnp.where(live, total, 1.0)
+            return w, t_new
+
+        w, t_new = jax.lax.cond(jnp.max(alpha) < (1.0 / 2048.0),
+                                additive_blend, exact_blend, alpha)
 
         rgb = pay[5:8, :]                          # (3, S)
         acc = acc + jax.lax.dot_general(
             w, rgb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)    # (NPX, 3)
-
-        t_new = t_px * jnp.min(
-            jnp.where(live, p_excl * (1.0 - alpha), 1.0),
-            axis=1, keepdims=True)                 # (NPX, 1)
 
         @pl.when(j + PREFETCH < nb)
         def _():
