@@ -10,17 +10,21 @@ picking, heatmap, telemetry and multi-chip sharding.
 
 from .config import RasterizerConfig, TILE_SIZE, SORT_BUFFER_FACTOR
 from .models.camera import Camera, orbit_trajectory
-from .models.splats import SplatCloud, from_arrays, synthetic_scene
+from .models.splats import (SplatCloud, from_arrays, mortonize,
+                            synthetic_scene)
 from .ops.pipeline import (FrameOutput, FrameStats, FrameUniforms,
-                           pick_splat_position, render_frame, render_frame_jit)
+                           make_uniforms, pick_splat_position, render_frame,
+                           render_frame_jit, render_multiview)
+from .engine.rasterizer import Rasterizer
 
 __version__ = "0.1.0"
 
 __all__ = [
     "RasterizerConfig", "TILE_SIZE", "SORT_BUFFER_FACTOR",
     "Camera", "orbit_trajectory",
-    "SplatCloud", "from_arrays", "synthetic_scene",
-    "FrameOutput", "FrameStats", "FrameUniforms",
-    "render_frame", "render_frame_jit", "pick_splat_position",
+    "SplatCloud", "from_arrays", "mortonize", "synthetic_scene",
+    "FrameOutput", "FrameStats", "FrameUniforms", "make_uniforms",
+    "render_frame", "render_frame_jit", "render_multiview",
+    "pick_splat_position", "Rasterizer",
     "__version__",
 ]

@@ -164,23 +164,14 @@ def build_block_frame(prj: ProjectedSplats, cfg: RasterizerConfig) -> BlockFrame
 
     wpos = prj.pos.reshape(SB, SUPERBLOCK, 3)
     # Culled splats keep radius 0: with ipos parked far away the rect-coverage
-    # test in the kernel rejects them for every tile.
+    # test in the kernel rejects them for every tile, and radius > 0 doubles
+    # as the validity flag after the sort.
     radius = jnp.where(valid, prj.radius.reshape(SB, SUPERBLOCK), 0.0)
-    # Rect rides along too: block membership is decided by this sort, so the
-    # per-block rect/min-depth reductions must see the *sorted* positions.
-    rect0 = prj.rect.reshape(SB, SUPERBLOCK, 4)
-    big = jnp.int32(1 << 20)
-    rx0 = jnp.where(valid, rect0[..., 0], big)
-    ry0 = jnp.where(valid, rect0[..., 1], big)
-    rx1 = jnp.where(valid, rect0[..., 2], -big)
-    ry1 = jnp.where(valid, rect0[..., 3], -big)
 
     operands = (key, px, py, ca, cb, cc,
                 color[..., 0], color[..., 1], color[..., 2], opacity,
                 depth_sb.astype(jnp.float32), radius,
-                wpos[..., 0], wpos[..., 1], wpos[..., 2],
-                rx0, ry0, rx1, ry1,
-                valid.astype(jnp.int32))
+                wpos[..., 0], wpos[..., 1], wpos[..., 2])
     sorted_ops = jax.lax.sort(operands, dimension=1, num_keys=1,
                               is_stable=True)
 
@@ -192,8 +183,26 @@ def build_block_frame(prj: ProjectedSplats, cfg: RasterizerConfig) -> BlockFrame
     pad = jnp.zeros((B, PAYLOAD_WIDTH - pay.shape[1], S), pay.dtype)
     payload = jnp.concatenate([pay, pad], axis=1)                 # (B, PW, S)
 
-    srx0, sry0, srx1, sry1 = (blk(o) for o in sorted_ops[15:19])
-    svalid = blk(sorted_ops[19]) > 0
+    # Per-splat rects are recomputed from the sorted payload instead of
+    # riding the sort as four more operands (cheaper: the variadic sort is
+    # the dominant cost of this stage). Formula identical to
+    # ops/projection.py / get_rect (gsplat_projection.glsl:144-148); culled
+    # splats (radius 0, parked at _CULL_FAR) produce empty rects.
+    spx = pay[:, 0]
+    spy = pay[:, 1]
+    srad = pay[:, 10]
+    svalid = srad > 0.0
+    gxf = jnp.float32(gx)
+    gyf = jnp.float32(gy)
+    srx0 = jnp.clip((spx - srad) / ts, 0.0, gxf).astype(jnp.int32)
+    sry0 = jnp.clip((spy - srad) / ts, 0.0, gyf).astype(jnp.int32)
+    srx1 = jnp.clip(jnp.ceil((spx + srad) / ts), 0.0, gxf).astype(jnp.int32)
+    sry1 = jnp.clip(jnp.ceil((spy + srad) / ts), 0.0, gyf).astype(jnp.int32)
+    big = jnp.int32(1 << 20)
+    srx0 = jnp.where(svalid, srx0, big)
+    sry0 = jnp.where(svalid, sry0, big)
+    srx1 = jnp.where(svalid, srx1, -big)
+    sry1 = jnp.where(svalid, sry1, -big)
     sdepth = pay[:, 9].astype(jnp.uint32)        # (B, S) depth lane
 
     lo = jnp.stack([jnp.min(srx0, axis=1), jnp.min(sry0, axis=1)], -1)
