@@ -13,10 +13,14 @@ same splat counts are used). Prints one JSON line per config.
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
 
 
 def log(*a):
