@@ -43,6 +43,8 @@ def bin_blocks(
     cfg: RasterizerConfig,
     supertile_cap: int = 1024,   # C1: max candidate blocks per supertile
     tile_cap: int = 256,         # C2: max blocks per tile
+    tile_row_offset=0,           # first tile row of this grid slab (multi-chip:
+                                 # block rects stay global, cfg covers the slab)
 ) -> TileBins:
     gx, gy = cfg.tile_dims
     T = gx * gy
@@ -55,18 +57,18 @@ def bin_blocks(
     NS = sgx * sgy
 
     # --- level 1: supertile candidate lists --------------------------------
+    # Interval-overlap test in raw (global) tile units so a traced row offset
+    # needs no SUPER alignment.
     r = bf.rect
-    sx0 = r[:, 0] // SUPER
-    sy0 = r[:, 1] // SUPER
-    sx1 = -(-r[:, 2] // SUPER)
-    sy1 = -(-r[:, 3] // SUPER)
     nonempty = (r[:, 2] > r[:, 0]) & (r[:, 3] > r[:, 1])
 
     sid = jnp.arange(NS, dtype=jnp.int32)
     ssx = (sid % sgx)[:, None]                      # (NS, 1)
     ssy = (sid // sgx)[:, None]
-    covers = ((sx0[None] <= ssx) & (ssx < sx1[None])
-              & (sy0[None] <= ssy) & (ssy < sy1[None])
+    sup_x0 = ssx * SUPER
+    sup_y0 = ssy * SUPER + tile_row_offset
+    covers = ((r[:, 0][None] < sup_x0 + SUPER) & (r[:, 2][None] > sup_x0)
+              & (r[:, 1][None] < sup_y0 + SUPER) & (r[:, 3][None] > sup_y0)
               & nonempty[None])                     # (NS, B)
 
     inf = jnp.uint32(0xFFFFFFFF)
@@ -90,7 +92,7 @@ def bin_blocks(
     # --- level 2: per-tile lists from the supertile candidates -------------
     lx = jnp.arange(SUPER, dtype=jnp.int32)
     tgx = ssx[:, 0][:, None] * SUPER + lx[None]     # (NS, SUPER) global tile x
-    tgy = ssy[:, 0][:, None] * SUPER + lx[None]
+    tgy = ssy[:, 0][:, None] * SUPER + lx[None] + tile_row_offset
     # (NS, SUPER, SUPER) grid → flatten local tiles to one axis of 64
     txx = jnp.broadcast_to(tgx[:, None, :], (NS, SUPER, SUPER))
     tyy = jnp.broadcast_to(tgy[:, :, None], (NS, SUPER, SUPER))

@@ -105,15 +105,16 @@ def build_block_frame(prj: ProjectedSplats, cfg: RasterizerConfig) -> BlockFrame
     """
     S = BLOCK_SIZE
     P = prj.valid.shape[0]
-    assert P % SUPERBLOCK == 0, (
-        f"splat capacity {P} must be a multiple of {SUPERBLOCK}")
+    sb_size = min(SUPERBLOCK, P)   # sharded callers may pass < SUPERBLOCK
+    assert P % sb_size == 0, (
+        f"splat capacity {P} must be a multiple of {sb_size}")
     B = P // S
-    SB = P // SUPERBLOCK
+    SB = P // sb_size
     gx, _ = cfg.tile_dims
 
-    valid_sb = prj.valid.reshape(SB, SUPERBLOCK)
-    depth_sb = prj.depth16.reshape(SB, SUPERBLOCK).astype(jnp.uint32)
-    ipos_sb = prj.image_pos.reshape(SB, SUPERBLOCK, 2)
+    valid_sb = prj.valid.reshape(SB, sb_size)
+    depth_sb = prj.depth16.reshape(SB, sb_size).astype(jnp.uint32)
+    ipos_sb = prj.image_pos.reshape(SB, sb_size, 2)
     ts = float(cfg.tile_size)
     _, gy = cfg.tile_dims
     # Cluster cell = 2^CELL_SHIFT × 2^CELL_SHIFT tiles. Finer cells → tighter
@@ -142,7 +143,7 @@ def build_block_frame(prj: ProjectedSplats, cfg: RasterizerConfig) -> BlockFrame
     # render dilution, and its depth range wrecks min-depth ordering. Splats
     # with radius ≥ BIG_RADIUS px sort into a separate key region (bit 31),
     # clustered depth-major so big blocks stay depth-thin and order well.
-    radius_sb = prj.radius.reshape(SB, SUPERBLOCK)
+    radius_sb = prj.radius.reshape(SB, sb_size)
     big = radius_sb >= BIG_RADIUS
     key_small = ((morton & 0x7FFF) << 16) | depth_sb
     key_big = (jnp.uint32(0x80000000) | (depth_sb << 8)
@@ -151,8 +152,8 @@ def build_block_frame(prj: ProjectedSplats, cfg: RasterizerConfig) -> BlockFrame
                     jnp.uint32(0xFFFFFFFF))
 
     ipos = ipos_sb
-    conic = prj.conic.reshape(SB, SUPERBLOCK, 3)
-    color = prj.color.reshape(SB, SUPERBLOCK, 4)
+    conic = prj.conic.reshape(SB, sb_size, 3)
+    color = prj.color.reshape(SB, sb_size, 4)
     valid = valid_sb
 
     opacity = jnp.where(valid, color[..., 3], 0.0)
@@ -162,11 +163,11 @@ def build_block_frame(prj: ProjectedSplats, cfg: RasterizerConfig) -> BlockFrame
     cb = jnp.where(valid, conic[..., 1], 0.0)
     cc = jnp.where(valid, conic[..., 2], 1.0)
 
-    wpos = prj.pos.reshape(SB, SUPERBLOCK, 3)
+    wpos = prj.pos.reshape(SB, sb_size, 3)
     # Culled splats keep radius 0: with ipos parked far away the rect-coverage
     # test in the kernel rejects them for every tile, and radius > 0 doubles
     # as the validity flag after the sort.
-    radius = jnp.where(valid, prj.radius.reshape(SB, SUPERBLOCK), 0.0)
+    radius = jnp.where(valid, prj.radius.reshape(SB, sb_size), 0.0)
 
     operands = (key, px, py, ca, cb, cc,
                 color[..., 0], color[..., 1], color[..., 2], opacity,

@@ -92,6 +92,7 @@ def _render_kernel(
 
     nb = row_smem[slot_r, 0, 0]
     cand = row_smem[slot_r, 0, 1]
+    y_off = row_smem[slot_r, 0, 3]   # pixel-row offset (multi-chip slabs)
     # heatmap factor travels as 16.16 fixed point (scalar bitcast is not
     # supported by Mosaic).
     hm_f = row_smem[slot_r, 0, 2].astype(jnp.float32) * (1.0 / 65536.0)
@@ -103,7 +104,7 @@ def _render_kernel(
     # Pixel coordinates: p = py*16 + px, pixels along sublanes (NPX, 1).
     pix = jax.lax.broadcasted_iota(jnp.int32, (NPX, 1), 0)
     tile_x = (jax.lax.rem(t, gx) * tile_size).astype(jnp.float32)
-    tile_y = ((t // gx) * tile_size).astype(jnp.float32)
+    tile_y = ((t // gx) * tile_size + y_off).astype(jnp.float32)
     px = tile_x + jax.lax.rem(pix, tile_size).astype(jnp.float32)
     py = tile_y + (pix // tile_size).astype(jnp.float32)
 
@@ -223,18 +224,21 @@ def _render_kernel(
 
 
 def pack_tile_rows(tile_blocks, tile_nblocks, tile_candidates,
-                   heatmap_factor):
+                   heatmap_factor, pixel_offset_y=0):
     """(T, C2) block lists + counts + traced heatmap factor → (T, 8, 128) i32
-    packed rows: [nb, cand, hm_fixed16.16, 0…, block ids from slot ROW_HDR]."""
+    packed rows: [nb, cand, hm_fixed16.16, y_off, 0…, blocks from ROW_HDR]."""
     T, C2 = tile_blocks.shape
     assert C2 <= MAX_TILE_BLOCKS
     hm_bits = jnp.round(
         jnp.asarray(heatmap_factor, jnp.float32) * 65536.0).astype(jnp.int32)
+    yoff = jnp.broadcast_to(
+        jnp.asarray(pixel_offset_y, jnp.int32).reshape(1, 1), (T, 1))
     hdr = jnp.concatenate([
         tile_nblocks.reshape(T, 1).astype(jnp.int32),
         tile_candidates.reshape(T, 1).astype(jnp.int32),
         jnp.broadcast_to(hm_bits.reshape(1, 1), (T, 1)),
-        jnp.zeros((T, ROW_HDR - 3), jnp.int32),
+        yoff,
+        jnp.zeros((T, ROW_HDR - 4), jnp.int32),
     ], axis=1)
     body = jnp.concatenate([
         tile_blocks.astype(jnp.int32),
@@ -252,15 +256,18 @@ def render_tiles_pallas(
     cfg: RasterizerConfig,
     early_exit: bool = True,
     interpret: bool = False,
+    pixel_offset_y=0,
 ):
     """Launch the per-tile kernel over the tile grid. Returns the raw
-    (T, NPX, OUT_CH) tile buffer (assemble with `assemble_image`)."""
+    (T, NPX, OUT_CH) tile buffer (assemble with `assemble_image`).
+    pixel_offset_y shifts tile pixel rows (multi-chip slabs render a slice of
+    a larger image whose image_pos coordinates are global)."""
     gx, gy = cfg.tile_dims
     T = gx * gy
     assert cfg.tile_size * cfg.tile_size == NPX
 
     rows = pack_tile_rows(tile_blocks, tile_nblocks, tile_candidates,
-                          heatmap_factor)
+                          heatmap_factor, pixel_offset_y)
     kern = functools.partial(
         _render_kernel, gx=gx, tile_size=cfg.tile_size, num_tiles=T,
         early_exit=early_exit)

@@ -135,3 +135,73 @@ def render_frame_sharded(
 def stack_uniforms(unis) -> FrameUniforms:
     """Stack per-camera FrameUniforms into the view-batched form."""
     return jax.tree.map(lambda *xs: jnp.stack(xs), *unis)
+
+
+def render_frame_fast_sharded(
+    cloud: SplatCloud,
+    uniforms: FrameUniforms,
+    cfg: RasterizerConfig,
+    mesh: Mesh,
+    supertile_cap: int = 1024,
+    tile_cap: int = 256,
+    interpret: bool = False,
+):
+    """Multi-chip fast path over the ("view", "tile") mesh.
+
+    Work split (one view): projection AND the per-superblock re-cluster sort
+    — the two heavy prep stages — run data-parallel over the sharded splat
+    axis (superblocks never cross shard boundaries, so the block structure is
+    identical to single-chip). The compact BlockFrame is then all-gathered
+    over ICI and each device bins + renders its own slab of tile rows.
+    Returns (n_view, H, W, 4) images, view/row sharded.
+    """
+    from ..ops.blocks import BLOCK_SIZE, build_block_frame
+    from ..ops.binning import bin_blocks
+    from ..ops.render_pallas import assemble_image, render_tiles_pallas
+
+    n_tile = mesh.shape["tile"]
+    rows_per = _slab_rows(cfg, n_tile)
+    assert cloud.capacity % (BLOCK_SIZE * n_tile) == 0, (
+        f"capacity {cloud.capacity} must split into whole blocks "
+        f"across {n_tile} devices")
+
+    def step(means, cov3d, opac, sh, uptime, view, proj, cam_pos,
+             model_scale, time, heatmap):
+        view, proj, cam_pos = view[0], proj[0], cam_pos[0]
+        model_scale, time, heatmap = model_scale[0], time[0], heatmap[0]
+
+        prj = project_splats(means, cov3d, opac, sh, uptime,
+                             view, proj, cam_pos, model_scale, time, cfg)
+        bf = build_block_frame(prj, cfg)          # local superblocks only
+        bf = jax.tree.map(
+            lambda x: jax.lax.all_gather(x, "tile", tiled=True)
+            if x.ndim > 0 else jax.lax.psum(x, "tile"), bf)
+
+        slab = jax.lax.axis_index("tile")
+        y0 = slab * rows_per
+        slab_cfg = cfg.replace(height=rows_per * cfg.tile_size,
+                               width=cfg.target_size[0], render_scale=1.0)
+        bins = bin_blocks(bf, slab_cfg, supertile_cap=supertile_cap,
+                          tile_cap=tile_cap, tile_row_offset=y0)
+        tiles = render_tiles_pallas(
+            bf.payload, bins.tile_blocks, bins.tile_nblocks,
+            bins.tile_candidates, heatmap, slab_cfg, interpret=interpret,
+            pixel_offset_y=y0 * cfg.tile_size)
+        image, _ = assemble_image(tiles, slab_cfg)
+        # num_culled_pairs was already psum'd to the global total above.
+        return image[None], bf.num_culled_pairs[None]
+
+    splat_spec = P("tile")
+    uni_spec = P("view")
+    step_sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(splat_spec, splat_spec, splat_spec, splat_spec, splat_spec,
+                  uni_spec, uni_spec, uni_spec, uni_spec, uni_spec, uni_spec),
+        out_specs=(P("view", "tile"), P("view")),
+        # pallas_call inside shard_map cannot declare per-axis vma yet
+        check_vma=False,
+    )
+    return step_sharded(
+        cloud.means, cloud.cov3d, cloud.opacity, cloud.sh, cloud.upload_time,
+        uniforms.view, uniforms.proj, uniforms.camera_pos,
+        uniforms.model_scale, uniforms.time, uniforms.heatmap_factor)

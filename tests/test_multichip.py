@@ -39,3 +39,25 @@ def test_mesh_shapes():
     mesh = make_mesh(n_view=2, n_tile=4)
     assert mesh.shape == {"view": 2, "tile": 4}
     assert len(jax.devices()) >= 8
+
+
+def test_fast_sharded_matches_single_device():
+    from godotgaussiansplatting_tpu.models.splats import mortonize
+    from godotgaussiansplatting_tpu.ops.fast_pipeline import render_frame_fast
+    from godotgaussiansplatting_tpu.parallel.sharded import (
+        render_frame_fast_sharded)
+
+    cfg = RasterizerConfig(width=128, height=128)
+    cloud = mortonize(synthetic_scene(3000, seed=9, extent=2.5,
+                                      scale_range=(0.01, 0.1)))
+    cam = Camera.reset_pose()
+    uni = make_uniforms(cam, cfg)
+
+    mesh = make_mesh(n_view=1, n_tile=2)
+    img, npairs = render_frame_fast_sharded(
+        cloud, stack_uniforms([uni]), cfg, mesh, interpret=True)
+    img = np.asarray(img)[0]
+
+    single = render_frame_fast(cloud, uni, cfg, interpret=True)
+    np.testing.assert_allclose(img, np.asarray(single.image), atol=2e-3)
+    assert int(np.asarray(npairs)[0]) == int(single.stats.num_pairs)
