@@ -235,8 +235,15 @@ def build_block_frame(prj: ProjectedSplats, cfg: RasterizerConfig) -> BlockFrame
     bits = jnp.where(svalid, bits, 0)
     bitmap = jax.lax.reduce(bits, jnp.uint32(0), jax.lax.bitwise_or, (1,))
 
-    min_depth = jnp.min(jnp.where(svalid, sdepth, jnp.uint32(0xFFFFFFFF)),
-                        axis=1)
+    # Ordering key for a tile's covering blocks: the *mean* valid depth
+    # ranks depth-overlapping (impure/margin) blocks better than the min —
+    # a min is dominated by a single near outlier. Pure blocks (disjoint
+    # depth ranges) order identically either way.
+    nv = jnp.maximum(jnp.sum(svalid, axis=1), 1)
+    min_depth = (jnp.sum(jnp.where(svalid, sdepth, 0), axis=1) // nv.astype(
+        jnp.uint32)).astype(jnp.uint32)
+    min_depth = jnp.where(jnp.any(svalid, axis=1), min_depth,
+                          jnp.uint32(0xFFFFFFFF))
     num_valid = jnp.sum(svalid, axis=1).astype(jnp.int32)
     return BlockFrame(
         payload=payload,
