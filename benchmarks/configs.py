@@ -23,15 +23,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
 
-def log(*a):
-    print(*a, file=sys.stderr, flush=True)
-
-
 def run_config(name, n_splats, width, height, sh_degree=3, frames=4,
                early_exit=True, pick=False, scale=1.0):
-    import jax
-    import jax.numpy as jnp
-
     import godotgaussiansplatting_tpu as gs
     from godotgaussiansplatting_tpu.ops.fast_pipeline import (
         pick_splat_position_fast, render_frame_fast_staged)

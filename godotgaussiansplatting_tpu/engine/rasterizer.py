@@ -9,7 +9,6 @@ and the async streaming loader.
 
 from __future__ import annotations
 
-import math
 import time
 from typing import Optional, Tuple
 

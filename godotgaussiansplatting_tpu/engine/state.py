@@ -14,7 +14,7 @@ import json
 import numpy as np
 
 from ..models.camera import Camera
-from ..models.splats import SplatCloud, from_arrays
+from ..models.splats import SplatCloud
 from .rasterizer import Rasterizer
 
 
