@@ -177,6 +177,14 @@ class Rasterizer:
         self.last_frame = out
         return out
 
+    def warmup(self) -> float:
+        """Compile the frame function(s) ahead of interaction; returns the
+        wall seconds spent (the analogue of the reference's first-frame
+        init_gpu shader compile, gaussian_splatting_rasterizer.gd:65-114)."""
+        t0 = time.perf_counter()
+        self.rasterize(sync=True)
+        return time.perf_counter() - t0
+
     def image(self) -> np.ndarray:
         """Host copy of the last rendered frame (H, W, 4) linear f32."""
         if self.last_frame is None:

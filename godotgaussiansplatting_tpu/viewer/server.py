@@ -45,8 +45,15 @@ body{margin:0;background:#111;color:#ddd;font:13px monospace;display:flex}
 #panel label{display:block;margin:5px 0}
 input[type=range]{width:150px;vertical-align:middle}
 pre{color:#aaa;white-space:pre-wrap}
+#loadbar{position:fixed;top:0;left:0;height:4px;background:#6cf;width:0%;
+ transition:width .3s;z-index:9}
+#cursor{position:absolute;width:14px;height:14px;border:2px solid #fff;
+ border-radius:50%;box-shadow:0 0 6px #000;pointer-events:none;display:none;
+ transform:translate(-50%,-50%)}
 </style></head><body>
-<div id=view><img id=img draggable=false></div>
+<div id=loadbar></div>
+<div id=view style=position:relative><img id=img draggable=false>
+<div id=cursor></div></div>
 <div id=panel>
  <h3>GaussianSplatting (TPU)</h3>
  <div>Drag & drop .ply files on the window to load!</div>
@@ -111,6 +118,15 @@ async function loop(){
     img.src = URL.createObjectURL(b);
     const s = await (await fetch('/stats')).json();
     document.getElementById('stats').textContent = s.panel;
+    document.getElementById('loadbar').style.width =
+      (s.progress < 1 ? (s.progress*100)+'%' : '0%');
+    const cur = document.getElementById('cursor');
+    if (s.cursor) {
+      const r = img.getBoundingClientRect();
+      cur.style.display = 'block';
+      cur.style.left = (s.cursor[0]*r.width) + 'px';
+      cur.style.top = (s.cursor[1]*r.height) + 'px';
+    } else cur.style.display = 'none';
   }
 }
 loop();
@@ -124,6 +140,7 @@ class ViewerState:
         self.yaw, self.pitch = 180.0, 0.0
         self.dist = 2.0
         self.orbit = np.array([0.0, 0.0, -2.0], np.float32)  # godot frame
+        self.cursor_frac = None   # picked point in [0,1]² image coords
         self.fov = 75.0
         self.pause_allowed = True
         self.last_change = time.monotonic()
@@ -210,8 +227,13 @@ def serve(rasterizer: Rasterizer, port: int = 8000):
             elif self.path == "/frame":
                 self._send(200, state.frame_png, "image/png")
             elif self.path == "/stats":
-                self._send(200, json.dumps(
-                    {"panel": state.panel_text()}).encode())
+                prog = (state.r.num_splats_loaded
+                        / max(1, state.r.cloud.num_splats))
+                self._send(200, json.dumps({
+                    "panel": state.panel_text(),
+                    "progress": prog,
+                    "cursor": state.cursor_frac,
+                }).encode())
             else:
                 self._send(404, b"{}")
 
@@ -232,6 +254,7 @@ def serve(rasterizer: Rasterizer, port: int = 8000):
                     # set_focused_position (camera.gd:144-149), godot frame
                     state.orbit = np.array(
                         [-pos[0], -pos[1], pos[2]], np.float32)
+                    state.cursor_frac = [p["x"], p["y"]]  # cursor.gd marker
                     state.last_change = time.monotonic()
             elif self.path == "/load":
                 state.r.cleanup()
