@@ -1,0 +1,229 @@
+"""Block frame v2: depth-sorted splat blocks carrying MXU power features.
+
+Second-generation block preparation for the TPU fast path (supersedes
+ops/blocks.py; same clustering idea, restructured for the v2 render kernel):
+
+  * stage 1 — per Morton superblock, ONE variadic row sort by
+    (screen-cell Morton, depth16) groups splats into screen-local,
+    depth-slabbed runs (12 operands, trimmed from round-1's 15: world
+    positions are replaced by a carried source index, depth/validity are
+    recovered from the key);
+  * stage 2 — blocks of BLOCK_SIZE are re-sorted *internally* by depth16
+    alone (a (B, S)-row sort), making every block's depth row monotone.
+    Cross-cell lane mixing inside a block no longer breaks depth order —
+    the round-1 pipeline's intra-block inversions are gone by construction;
+  * the per-splat Gaussian power is factorized for the MXU:
+        power(px, py) = f0 + px'·f1 + py'·f2 + px'²·f3 + py'²·f4 + px'py'·f5
+    with (px', py') pixel coordinates relative to a per-block integer
+    center (bc) that bounds f32 cancellation. The render kernel evaluates
+    all 256×S powers as ONE (NPX, 8) @ (8, S) matmul instead of ~10 VPU
+    elementwise ops (gsplat_render.glsl:84's per-thread evaluation).
+
+Payload layout (PAYLOAD_WIDTH=16 f32 rows per block):
+    0..5   f0..f5   power features; f0 includes ln(opacity) (clamped to
+                    <= -1e-3 so alpha < 1 strictly and log1p(-alpha) in the
+                    kernel stays finite); invalid lanes: f0=-1e4, f1..f5=0
+    6..8   r, g, b  SH color (invalid: 0)
+    9..11  ix, iy, radius   image position + biased radius for the exact
+                    rect-coverage gate (invalid: parked at -1e6 / 0)
+    12     depth16  as f32; invalid lanes = +BIG (sort to block tail)
+    13     idx      source splat index, bitcast u32->f32 (picking)
+    14..15 pad
+
+Reference parity notes: the per-splat math feeding the features reproduces
+gsplat_projection.glsl exactly (see ops/projection.py); this module only
+reshapes the frame into the TPU-native block hierarchy that replaces the
+reference's global radix sort (radix_sort_*.glsl).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RasterizerConfig
+from .projection import ProjectedSplats
+from .blocks import morton_order, SUPERBLOCK, CELL_SHIFT, BIG_RADIUS  # noqa: F401
+
+BLOCK_SIZE = 128          # splats per block
+PAYLOAD_WIDTH = 16        # f32 lanes per splat payload row
+DEPTH_INVALID = 3.0e38    # depth row sentinel for culled/padded lanes
+GATE_OFF = -1.0e4         # exp(GATE_OFF) == 0 in f32
+_CULL_FAR = -1.0e6
+
+
+class BlockFrame2(NamedTuple):
+    """Per-frame block-level state feeding binning + the v2 render kernel."""
+
+    payload: jnp.ndarray      # (B, PAYLOAD_WIDTH, S) f32 — see module docstring
+    rect: jnp.ndarray         # (B, 4) i32 block tile rect [x0, y0, x1, y1)
+    bitmap: jnp.ndarray       # (B,) u32 8x4 coverage bitmap over the rect
+    min_depth: jnp.ndarray    # (B,) u32 min depth16 over valid members
+    max_depth: jnp.ndarray    # (B,) u32 max depth16 over valid members
+    bc: jnp.ndarray           # (B,) u32 packed block center bcx | bcy<<14
+    num_valid: jnp.ndarray    # (B,) i32 surviving splats per block
+    num_culled_pairs: jnp.ndarray  # () i32 splat-tile pair count (stats parity
+                                   # with the reference's sort_buffer_size)
+
+
+def build_block_frame2(prj: ProjectedSplats,
+                       cfg: RasterizerConfig) -> BlockFrame2:
+    """ProjectedSplats (padded P = B*S splats, Morton order) -> BlockFrame2."""
+    S = BLOCK_SIZE
+    P = prj.valid.shape[0]
+    sb_size = min(SUPERBLOCK, P)
+    assert P % sb_size == 0, (
+        f"splat capacity {P} must be a multiple of {sb_size}")
+    B = P // S
+    SB = P // sb_size
+    gx, gy = cfg.tile_dims
+    ts = float(cfg.tile_size)
+
+    valid_sb = prj.valid.reshape(SB, sb_size)
+    depth_sb = prj.depth16.reshape(SB, sb_size).astype(jnp.uint32)
+    ipos_sb = prj.image_pos.reshape(SB, sb_size, 2)
+
+    # --- stage-1 composite key: (big-splat bit, cell Morton, depth16) -------
+    cell = CELL_SHIFT
+    ctx = (jnp.clip((ipos_sb[..., 0] / ts).astype(jnp.int32), 0, gx - 1)
+           .astype(jnp.uint32) >> cell)
+    cty = (jnp.clip((ipos_sb[..., 1] / ts).astype(jnp.int32), 0, gy - 1)
+           .astype(jnp.uint32) >> cell)
+
+    def spread8(v):
+        v = (v | (v << 4)) & jnp.uint32(0x0F0F)
+        v = (v | (v << 2)) & jnp.uint32(0x3333)
+        v = (v | (v << 1)) & jnp.uint32(0x5555)
+        return v
+
+    morton = spread8(ctx & 0xFF) | (spread8(cty & 0xFF) << 1)
+
+    radius_sb = prj.radius.reshape(SB, sb_size)
+    big = radius_sb >= BIG_RADIUS
+    key_small = ((morton & 0x7FFF) << 16) | depth_sb
+    key_big = (jnp.uint32(0x80000000) | (depth_sb << 8)
+               | ((morton >> 8) & 0xFF))
+    key = jnp.where(valid_sb, jnp.where(big, key_big, key_small),
+                    jnp.uint32(0xFFFFFFFF))
+
+    conic = prj.conic.reshape(SB, sb_size, 3)
+    color = prj.color.reshape(SB, sb_size, 4)
+    idx = (jnp.arange(P, dtype=jnp.uint32).reshape(SB, sb_size))
+
+    operands = (key,
+                ipos_sb[..., 0], ipos_sb[..., 1],
+                conic[..., 0], conic[..., 1], conic[..., 2],
+                color[..., 0], color[..., 1], color[..., 2], color[..., 3],
+                radius_sb, idx)
+    s1 = jax.lax.sort(operands, dimension=1, num_keys=1, is_stable=True)
+
+    def blk(x):  # (SB, sb_size) -> (B, S)
+        return x.reshape(B, S)
+
+    key_b = blk(s1[0])
+    valid_b = key_b != jnp.uint32(0xFFFFFFFF)
+    is_big = (key_b >> 31) == 1
+    depth_b = jnp.where(is_big, (key_b >> 8) & 0xFFFF, key_b & 0xFFFF)
+    key2 = jnp.where(valid_b, depth_b, jnp.uint32(0xFFFFFFFF))
+
+    # --- stage 2: exact intra-block depth sort ------------------------------
+    s2 = jax.lax.sort((key2,) + tuple(blk(o) for o in s1[1:]),
+                      dimension=1, num_keys=1, is_stable=True)
+    key2s, ix, iy, ca, cb, cc, r, g, b, op, rad, idx_s = s2
+    valid = key2s != jnp.uint32(0xFFFFFFFF)
+    depth = (key2s & 0xFFFF).astype(jnp.float32)
+
+    # --- per-block center + MXU power features ------------------------------
+    nv = jnp.sum(valid, axis=1).astype(jnp.int32)
+    nv_safe = jnp.maximum(nv, 1).astype(jnp.float32)
+    ix_v = jnp.where(valid, ix, 0.0)
+    iy_v = jnp.where(valid, iy, 0.0)
+    bcx = jnp.clip(jnp.round(jnp.sum(ix_v, axis=1) / nv_safe),
+                   0.0, 16383.0)                               # (B,)
+    bcy = jnp.clip(jnp.round(jnp.sum(iy_v, axis=1) / nv_safe), 0.0, 16383.0)
+    ixr = ix - bcx[:, None]
+    iyr = iy - bcy[:, None]
+
+    # ln(opacity), clamped so alpha = exp(power) stays strictly below 1:
+    # log1p(-alpha) in the render kernel is then always finite. The 1e-3
+    # clamp deviates from the reference by <=0.1% opacity for fully opaque
+    # splats (the reference itself has no alpha clamp, gsplat_render.glsl:86).
+    ln_op = jnp.minimum(jnp.log(jnp.maximum(op, 1e-37)), -1e-3)
+
+    f0q = -0.5 * (ca * ixr * ixr + cc * iyr * iyr) - cb * ixr * iyr
+    f0 = jnp.where(valid, f0q + ln_op, GATE_OFF)
+    f1 = jnp.where(valid, ca * ixr + cb * iyr, 0.0)
+    f2 = jnp.where(valid, cc * iyr + cb * ixr, 0.0)
+    f3 = jnp.where(valid, -0.5 * ca, 0.0)
+    f4 = jnp.where(valid, -0.5 * cc, 0.0)
+    f5 = jnp.where(valid, -cb, 0.0)
+
+    ix_p = jnp.where(valid, ix, _CULL_FAR)
+    iy_p = jnp.where(valid, iy, _CULL_FAR)
+    rad_p = jnp.where(valid, rad, 0.0)
+    depth_p = jnp.where(valid, depth, DEPTH_INVALID)
+    idx_f = jax.lax.bitcast_convert_type(idx_s, jnp.float32)
+    zeros = jnp.zeros_like(f0)
+
+    payload = jnp.stack([
+        f0, f1, f2, f3, f4, f5,
+        jnp.where(valid, r, 0.0), jnp.where(valid, g, 0.0),
+        jnp.where(valid, b, 0.0),
+        ix_p, iy_p, rad_p, depth_p, idx_f, zeros, zeros,
+    ], axis=1)                                                 # (B, 16, S)
+
+    # --- block tile rect / coverage bitmap / depth range --------------------
+    gxf, gyf = jnp.float32(gx), jnp.float32(gy)
+    srx0 = jnp.clip((ix_p - rad_p) / ts, 0.0, gxf).astype(jnp.int32)
+    sry0 = jnp.clip((iy_p - rad_p) / ts, 0.0, gyf).astype(jnp.int32)
+    srx1 = jnp.clip(jnp.ceil((ix_p + rad_p) / ts), 0.0, gxf).astype(jnp.int32)
+    sry1 = jnp.clip(jnp.ceil((iy_p + rad_p) / ts), 0.0, gyf).astype(jnp.int32)
+    bigc = jnp.int32(1 << 20)
+    srx0 = jnp.where(valid, srx0, bigc)
+    sry0 = jnp.where(valid, sry0, bigc)
+    srx1 = jnp.where(valid, srx1, -bigc)
+    sry1 = jnp.where(valid, sry1, -bigc)
+
+    lo = jnp.stack([jnp.min(srx0, axis=1), jnp.min(sry0, axis=1)], -1)
+    hi = jnp.stack([jnp.max(srx1, axis=1), jnp.max(sry1, axis=1)], -1)
+    empty = ~jnp.any(valid, axis=1)
+    block_rect = jnp.where(
+        empty[:, None],
+        jnp.zeros((B, 4), jnp.int32),
+        jnp.concatenate([lo, jnp.maximum(hi, lo)], axis=-1).astype(jnp.int32))
+
+    bx0g, by0g = block_rect[:, 0:1], block_rect[:, 1:2]
+    sw = jnp.maximum(-(-(block_rect[:, 2:3] - bx0g) // 8), 1)
+    sh_ = jnp.maximum(-(-(block_rect[:, 3:4] - by0g) // 4), 1)
+    cx0 = jnp.clip((srx0 - bx0g) // sw, 0, 7)
+    cx1 = jnp.clip(-(-(srx1 - bx0g) // sw), cx0 + 1, 8)
+    cy0 = jnp.clip((sry0 - by0g) // sh_, 0, 3)
+    cy1 = jnp.clip(-(-(sry1 - by0g) // sh_), cy0 + 1, 4)
+    colmask = ((jnp.uint32(1) << cx1.astype(jnp.uint32))
+               - (jnp.uint32(1) << cx0.astype(jnp.uint32)))
+    bits = jnp.zeros_like(colmask)
+    for yrow in range(4):
+        bits = bits | jnp.where(
+            (cy0 <= yrow) & (yrow < cy1), colmask << (8 * yrow), 0)
+    bits = jnp.where(valid, bits, 0)
+    bitmap = jax.lax.reduce(bits, jnp.uint32(0), jax.lax.bitwise_or, (1,))
+
+    dep_u = jnp.where(valid, key2s & 0xFFFF, jnp.uint32(0xFFFF))
+    min_depth = jnp.min(jnp.where(valid, dep_u, jnp.uint32(0xFFFF)), axis=1)
+    max_depth = jnp.max(jnp.where(valid, dep_u, jnp.uint32(0)), axis=1)
+    min_depth = jnp.where(empty, jnp.uint32(0xFFFF), min_depth)
+    max_depth = jnp.where(empty, jnp.uint32(0xFFFF), max_depth)
+    bc = (bcx.astype(jnp.uint32) | (bcy.astype(jnp.uint32) << 14))
+
+    return BlockFrame2(
+        payload=payload,
+        rect=block_rect,
+        bitmap=bitmap,
+        min_depth=min_depth,
+        max_depth=max_depth,
+        bc=bc,
+        num_valid=nv,
+        num_culled_pairs=jnp.sum(prj.num_tiles).astype(jnp.int32),
+    )
