@@ -1,0 +1,195 @@
+#!/usr/bin/env python
+"""v2 pipeline benchmark: real 5.8M frame data, per-stage + kernel variants.
+
+All timings use in-jit fori_loops (the tunneled TPU costs ~25 ms per
+dispatch). The scene is cached to /tmp so repeated runs skip the ~10 min
+host-side build.
+
+Usage: python benchmarks/bench_v2.py [n_splats] [tile_size] [variants...]
+Variants: mm_bf16 mm_bf16_x mm_f32 mm_f32_x roll_f32 roll_bf16 (default all)
+"""
+
+import functools
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def get_cloud(n):
+    """Build (or load) the benchmark scene fully host-side, then upload once.
+
+    Keeping the build on host matters here: device<->host transfers through
+    the axon tunnel are slow, so the cache must be written from numpy arrays
+    BEFORE anything touches the device."""
+    import time as _t
+    import jax
+    from godotgaussiansplatting_tpu.models.splats import (
+        SplatCloud, _pad, build_covariance, PAD_MULTIPLE)
+    from godotgaussiansplatting_tpu.ops.blocks import morton_order
+    import godotgaussiansplatting_tpu as gs
+    import jax.numpy as jnp
+
+    cache = f"/tmp/scene_{n}.npz"
+    if not os.path.exists(cache):
+        # Reproduce synthetic_scene(seed=42, surfaces=True) + mortonize
+        # without instantiating device arrays.
+        rng = np.random.default_rng(42)
+        extent, scale_range = 4.0, (0.004, 0.03)
+        k = max(64, n // 4096)
+        centers = rng.uniform(-extent, extent, (k, 3)).astype(np.float32)
+        normals = rng.normal(size=(k, 3)).astype(np.float32)
+        normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+        sizes = rng.uniform(0.15, 0.8, (k, 1)).astype(np.float32) * extent * 0.4
+        u = rng.normal(size=(k, 3)).astype(np.float32)
+        u -= (u * normals).sum(-1, keepdims=True) * normals
+        u /= np.linalg.norm(u, axis=-1, keepdims=True)
+        v = np.cross(normals, u)
+        pid = rng.integers(0, k, n)
+        a = rng.normal(size=(n, 1)).astype(np.float32)
+        b = rng.normal(size=(n, 1)).astype(np.float32)
+        c = rng.normal(0, 0.02, (n, 1)).astype(np.float32)
+        means = (centers[pid] + sizes[pid] * (a * u[pid] + b * v[pid])
+                 + c * extent * normals[pid]).astype(np.float32)
+        means = np.clip(means, -1.6 * extent, 1.6 * extent)
+        means[:, 2] += extent * 1.5
+        scales = rng.uniform(*scale_range, (n, 3)).astype(np.float32)
+        quats = rng.normal(size=(n, 4)).astype(np.float32)
+        opac = np.where(rng.random(n) < 0.7,
+                        rng.uniform(0.85, 1.0, n),
+                        rng.uniform(0.05, 0.6, n)).astype(np.float32)
+        sh = np.zeros((n, 16, 3), np.float32)
+        sh[:, 0] = rng.uniform(-1.0, 2.0, (n, 3))
+        sh[:, 1:16] = rng.normal(0, 0.12, (n, 15, 3))
+        order = morton_order(means)
+        cov6 = build_covariance(scales[order], quats[order])
+        cap = max(PAD_MULTIPLE, -(-n // PAD_MULTIPLE) * PAD_MULTIPLE)
+        np.savez(cache, means=_pad(means[order], cap), cov3d=_pad(cov6, cap),
+                 opacity=_pad(opac[order], cap),
+                 sh=_pad(sh[order].astype(np.float32), cap),
+                 upload_time=np.zeros(cap, np.float32), num_splats=n)
+    z = np.load(cache)
+    t0 = _t.perf_counter()
+    cl = SplatCloud(
+        means=jnp.asarray(z["means"]), cov3d=jnp.asarray(z["cov3d"]),
+        opacity=jnp.asarray(z["opacity"]), sh=jnp.asarray(z["sh"]),
+        upload_time=jnp.asarray(z["upload_time"]),
+        num_splats=int(z["num_splats"]))
+    jax.block_until_ready(cl.means)
+    print(f"upload {_t.perf_counter()-t0:.0f}s", flush=True)
+    return cl
+
+
+def measure(make_loop, k_hi=9):
+    f1, fk = make_loop(1), make_loop(k_hi)
+    np.asarray(f1())
+    np.asarray(fk())
+    t1s, tks = [], []
+    for _ in range(3):
+        t0 = time.perf_counter(); np.asarray(f1())
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); np.asarray(fk())
+        tks.append(time.perf_counter() - t0)
+    return (min(tks) - min(t1s)) / (k_hi - 1)
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    import jax.numpy as jnp
+
+    import godotgaussiansplatting_tpu as gs
+    from godotgaussiansplatting_tpu.ops.pipeline import make_uniforms
+    from godotgaussiansplatting_tpu.ops.projection import project_splats
+    from godotgaussiansplatting_tpu.ops.blocks2 import build_block_frame2
+    from godotgaussiansplatting_tpu.ops.binning2 import bin_blocks2
+    from godotgaussiansplatting_tpu.ops.render_pallas2 import (
+        assemble_image_v2, render_tiles_v2)
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 5_800_000
+    ts = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    variants = sys.argv[3:] or ["mm_bf16", "mm_bf16_x", "mm_f32_x",
+                                "roll_f32", "roll_bf16"]
+    cfg = gs.RasterizerConfig(width=1920, height=1080, quality="fast",
+                              tile_size=ts)
+    print(f"{n} splats, tile {ts} -> {cfg.tile_dims} tiles,",
+          jax.default_backend(), flush=True)
+
+    t0 = time.perf_counter()
+    cloud = get_cloud(n)
+    uni = make_uniforms(gs.orbit_trajectory(1, radius=5.0,
+                                            target=(0, 0, 6.0))[0], cfg)
+    print(f"scene ready {time.perf_counter()-t0:.0f}s", flush=True)
+
+    # --- stage outputs (single shot) ----------------------------------------
+    prj = jax.jit(lambda: project_splats(
+        cloud.means, cloud.cov3d, cloud.opacity, cloud.sh, cloud.upload_time,
+        uni.view, uni.proj, uni.camera_pos, uni.model_scale, uni.time, cfg))()
+    bf = jax.jit(lambda: build_block_frame2(prj, cfg))()
+    bins = jax.jit(lambda: bin_blocks2(bf, cfg))()
+
+    nb_arr = np.asarray(bins.tile_nblocks)
+    true_pairs = int(np.asarray(prj.num_tiles).sum())
+    blk_pairs = int(nb_arr.sum())
+    print(f"true splat-tile pairs: {true_pairs/1e6:.1f}M | "
+          f"tile-block pairs: {blk_pairs/1e3:.0f}K "
+          f"(x128 = {blk_pairs*128/1e6:.1f}M, dilution "
+          f"{blk_pairs*128/max(true_pairs,1):.2f}x) | "
+          f"blocks/tile mean {nb_arr.mean():.1f} max {nb_arr.max()} | "
+          f"overflow {int(np.asarray(bins.overflow))}", flush=True)
+
+    # --- stage timings -------------------------------------------------------
+    def stage_loop(stage_fn, probe):
+        def make(K):
+            @jax.jit
+            def run():
+                def body(i, acc):
+                    return acc + probe(stage_fn(i))
+                return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
+            return run
+        return make
+
+    if os.environ.get("BENCH_STAGES", "1") == "1":
+        def st_blocks(i):
+            p = prj._replace(image_pos=prj.image_pos
+                             + i.astype(jnp.float32) * 1e-7)
+            return build_block_frame2(p, cfg)
+        tb = measure(stage_loop(
+            st_blocks, lambda b: b.payload.ravel()[::65536].sum()))
+        print(f"blocks2: {tb*1e3:7.2f} ms", flush=True)
+
+        def st_bin(i):
+            b = bf._replace(min_depth=bf.min_depth + i.astype(jnp.uint32) * 0)
+            return bin_blocks2(b, cfg)
+        tn = measure(stage_loop(
+            st_bin, lambda t: t.tile_nblocks.sum().astype(jnp.float32)))
+        print(f"bin2   : {tn*1e3:7.2f} ms", flush=True)
+
+    # --- render variants -----------------------------------------------------
+    for var in variants:
+        xmask = var.endswith("_x")
+        chain = var[:-2] if xmask else var
+
+        def st_render(i, chain=chain, xmask=xmask):
+            tiles = render_tiles_v2(
+                bf.payload, bins, jnp.float32(0.0) + i.astype(jnp.float32)
+                * 1e-12, cfg, early_exit=True, chain=chain, xmask=xmask)
+            img, _ = assemble_image_v2(tiles, cfg)
+            return img
+        try:
+            tr = measure(stage_loop(
+                st_render, lambda im: im[::256, ::256, 0].sum()), k_hi=5)
+            blocks_ns = tr / max(blk_pairs, 1) * 1e9
+            print(f"render {var:10s}: {tr*1e3:7.2f} ms "
+                  f"({blocks_ns:5.0f} ns/pair)", flush=True)
+        except Exception as e:
+            print(f"render {var:10s}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -18,6 +18,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import jax.numpy as jnp
 
     from godotgaussiansplatting_tpu.config import RasterizerConfig

@@ -37,6 +37,8 @@ def measure(make_loop, k_hi=9):
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import jax.numpy as jnp
 
     import godotgaussiansplatting_tpu as gs

@@ -54,6 +54,17 @@ GATE_OFF = -1.0e4         # exp(GATE_OFF) == 0 in f32
 _CULL_FAR = -1.0e6
 
 
+def adaptive_cell_shift(P: int, gx: int, gy: int,
+                        blocks_per_cell: int = 8) -> int:
+    """Smallest cell shift s (cell edge = 2^s tiles) such that each cell's
+    depth column holds ~blocks_per_cell blocks of BLOCK_SIZE splats."""
+    target_cells = max(P // (BLOCK_SIZE * blocks_per_cell), 1)
+    s = 0
+    while s < 8 and (-(-gx // (1 << s))) * (-(-gy // (1 << s))) > target_cells:
+        s += 1
+    return s
+
+
 class BlockFrame2(NamedTuple):
     """Per-frame block-level state feeding binning + the v2 render kernel."""
 
@@ -68,9 +79,12 @@ class BlockFrame2(NamedTuple):
                                    # with the reference's sort_buffer_size)
 
 
-def build_block_frame2(prj: ProjectedSplats,
-                       cfg: RasterizerConfig) -> BlockFrame2:
-    """ProjectedSplats (padded P = B*S splats, Morton order) -> BlockFrame2."""
+def build_block_frame2(prj: ProjectedSplats, cfg: RasterizerConfig,
+                       num_splats: int | None = None) -> BlockFrame2:
+    """ProjectedSplats (padded P = B*S splats, Morton order) -> BlockFrame2.
+
+    num_splats: true (unpadded) splat count, used only to pick the adaptive
+    cell granularity; defaults to the padded capacity."""
     S = BLOCK_SIZE
     P = prj.valid.shape[0]
     sb_size = min(SUPERBLOCK, P)
@@ -86,7 +100,12 @@ def build_block_frame2(prj: ProjectedSplats,
     ipos_sb = prj.image_pos.reshape(SB, sb_size, 2)
 
     # --- stage-1 composite key: (big-splat bit, cell Morton, depth16) -------
-    cell = CELL_SHIFT
+    # Adaptive cell granularity: a cell should hold several depth-slab
+    # blocks, or cross-cell depth interleaving exceeds the render kernel's
+    # ±1-list-position exactness window. Small scenes therefore get coarse
+    # cells (few, deep depth columns); large scenes get fine cells (tight
+    # rects, low render dilution).
+    cell = adaptive_cell_shift(num_splats or P, gx, gy)
     ctx = (jnp.clip((ipos_sb[..., 0] / ts).astype(jnp.int32), 0, gx - 1)
            .astype(jnp.uint32) >> cell)
     cty = (jnp.clip((ipos_sb[..., 1] / ts).astype(jnp.int32), 0, gy - 1)

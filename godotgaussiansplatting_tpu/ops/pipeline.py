@@ -103,6 +103,64 @@ def render_frame_jit(cloud, uniforms, cfg, tile_capacity=2048):
     return render_frame(cloud, uniforms, cfg, tile_capacity)
 
 
+# --- staged exact frame (per-stage telemetry, utils/telemetry.py) -----------
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _stage_project_x(cloud, uniforms, cfg):
+    return project_splats(
+        cloud.means, cloud.cov3d, cloud.opacity, cloud.sh, cloud.upload_time,
+        uniforms.view, uniforms.proj, uniforms.camera_pos,
+        uniforms.model_scale, uniforms.time, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _stage_sort_x(prj, cfg):
+    return emit_and_sort(prj.valid, prj.rect, prj.num_tiles, prj.depth16, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _stage_bounds_x(pairs, cfg):
+    return tile_boundaries(pairs.keys, pairs.num_pairs, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tile_capacity"))
+def _stage_render_x(pairs, start, end, prj, heatmap_factor, cfg,
+                    tile_capacity):
+    return render_tiles(pairs.values, start, end, prj.image_pos, prj.conic,
+                        prj.color, heatmap_factor, cfg,
+                        tile_capacity=tile_capacity)
+
+
+def render_frame_staged(cloud, uniforms, cfg, tile_capacity=2048,
+                        stage_timer=None) -> FrameOutput:
+    """The exact frame as four chained stage jits, optionally timed with the
+    reference's stage names (gaussian_splatting_rasterizer.gd:135-160)."""
+    if stage_timer is None:
+        import contextlib
+
+        def stage_timer(name, probe):
+            return contextlib.nullcontext()
+    with stage_timer("Projection", lambda: prj.depth16):
+        prj = _stage_project_x(cloud, uniforms, cfg)
+    with stage_timer("Sort", lambda: pairs.keys):
+        pairs = _stage_sort_x(prj, cfg)
+    with stage_timer("Boundaries", lambda: start):
+        start, end = _stage_bounds_x(pairs, cfg)
+    with stage_timer("Render", lambda: out.image):
+        out = _stage_render_x(pairs, start, end, prj,
+                              uniforms.heatmap_factor, cfg, tile_capacity)
+    stats = FrameStats(
+        num_pairs=pairs.num_pairs,
+        num_overflow=pairs.num_overflow,
+        max_tile_count=jnp.max(out.tile_counts),
+    )
+    return FrameOutput(
+        image=out.image, stats=stats,
+        sorted_values=pairs.values, tile_start=start, tile_end=end,
+        tile_t0=out.tile_t0, splat_pos=prj.pos,
+    )
+
+
 def render_multiview(
     cloud: SplatCloud,
     uniforms_batched: FrameUniforms,   # every leaf has a leading view axis

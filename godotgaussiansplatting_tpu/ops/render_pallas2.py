@@ -359,6 +359,8 @@ def render_tiles_v2(
     gx, gy = cfg.tile_dims
     T = gx * gy
     NPX = cfg.tile_size * cfg.tile_size
+    if jax.default_backend() == "cpu":
+        interpret = True   # Mosaic kernels only compile for TPU
 
     rows = pack_tile_rows_v2(bins.tile_blocks, bins.tile_nblocks,
                              bins.tile_minmax, bins.tile_bc,

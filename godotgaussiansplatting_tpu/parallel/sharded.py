@@ -6,13 +6,19 @@ story it lacks:
 * axis "view":  batched multi-view rendering — cameras are a batch axis
                 (BASELINE config 5: 8 cameras/step), sharded across devices.
 * axis "tile":  spatial parallelism within one view. Splats are sharded over
-                devices for projection (data-parallel); each device then
-                all-gathers the compact projected set over ICI, emits/sorts
-                only the pairs of its own slab of tile rows, and renders that
-                slab. The image comes back row-sharded.
+                devices for projection + block build (data-parallel); blocks
+                are then exchanged so each device holds only the blocks whose
+                rects intersect its slab of tile rows, and renders that slab.
 
-The all-gather rides ICI (the mesh is the communication backend standing in
-for the reference's "none"). Sorting is per-slab, so sort work scales 1/D.
+Tile-row slabs are PADDED to ceil(rows / n_tile) — any resolution shards on
+any device count (1080p = 68 rows splits 8-way as 9-row slabs; the wrapper
+crops the padding rows).
+
+The fast-path block exchange is a fixed-capacity all-to-all (lax.all_to_all
+over ICI): device s sends slab d the (compacted, capped) subset of its local
+blocks intersecting slab d. Per-device memory is O(B/D · overlap) instead of
+the O(B) a full all-gather costs; dropped blocks due to the cap are counted
+and returned (`num_exchange_overflow`) rather than silently lost.
 """
 
 from __future__ import annotations
@@ -41,12 +47,14 @@ def make_mesh(n_view: int = 1, n_tile: int | None = None) -> Mesh:
 
 
 def _slab_rows(cfg: RasterizerConfig, n_tile: int) -> int:
-    """Rows of tiles per device slab (tile grid split along y)."""
-    gx, gy = cfg.tile_dims
-    assert gy % n_tile == 0, (
-        f"tile rows {gy} must divide the tile-axis size {n_tile}; "
-        f"pick a height multiple of {cfg.tile_size * n_tile}")
-    return gy // n_tile
+    """Rows of tiles per device slab (tile grid split along y, padded)."""
+    _, gy = cfg.tile_dims
+    return -(-gy // n_tile)
+
+
+def stack_uniforms(unis) -> FrameUniforms:
+    """Stack per-camera FrameUniforms into the view-batched form."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *unis)
 
 
 def render_frame_sharded(
@@ -57,40 +65,41 @@ def render_frame_sharded(
     tile_capacity: int = 512,
     pairs_per_device: int | None = None,
 ):
-    """One frame over the ("view", "tile") mesh.
+    """One exact-mode frame over the ("view", "tile") mesh.
 
     uniforms fields must carry a leading view-batch axis of size
-    mesh.shape["view"] (use jax.tree.map(stack, ...) over per-camera uniforms).
-    Returns images of shape (n_view, H, W, 4), sharded (view, tile-rows).
+    mesh.shape["view"] (use stack_uniforms). Returns (images, num_pairs,
+    num_slab_overflow): images (n_view, H, W, 4); num_slab_overflow counts
+    pairs dropped because a device's slab buffer (pairs_per_device) was too
+    small — hot slabs overflow first, so this is reported per frame rather
+    than silently dropped (the reference analogue is the 10N overflow flag,
+    main.gd:100).
+
+    This path all-gathers the projected set (O(N) per device): it is the
+    correctness/telemetry reference. The fast path below scales memory 1/D.
     """
-    n_view = mesh.shape["view"]
     n_tile = mesh.shape["tile"]
     rows_per = _slab_rows(cfg, n_tile)
-    gx, gy = cfg.tile_dims
     P_ = cloud.capacity
     k_local = pairs_per_device or (cfg.sort_buffer_factor * P_ // n_tile)
 
     def step(means, cov3d, opac, sh, uptime, view, proj, cam_pos,
              model_scale, time, heatmap):
-        # view-batch axis arrives already sliced to this device's camera.
         view, proj, cam_pos = view[0], proj[0], cam_pos[0]
         model_scale, time, heatmap = model_scale[0], time[0], heatmap[0]
 
-        # --- stage 1: data-parallel projection over the splat shard ---
         prj = project_splats(means, cov3d, opac, sh, uptime,
                              view, proj, cam_pos, model_scale, time, cfg)
-
-        # --- gather the compact projected set over ICI ---
         gathered = jax.tree.map(
             lambda x: jax.lax.all_gather(x, "tile", tiled=True), prj)
 
-        # --- stage 2+3: this device's tile-row slab only ---
         slab = jax.lax.axis_index("tile")
         y0 = slab * rows_per
         rect = gathered.rect
         ry0 = jnp.clip(rect[:, 1], y0, y0 + rows_per)
         ry1 = jnp.clip(rect[:, 3], y0, y0 + rows_per)
-        srect = jnp.stack([rect[:, 0], ry0 - y0, rect[:, 2], ry1 - y0], axis=-1)
+        srect = jnp.stack([rect[:, 0], ry0 - y0, rect[:, 2], ry1 - y0],
+                          axis=-1)
         snt = jnp.maximum(srect[:, 2] - srect[:, 0], 0) * jnp.maximum(
             srect[:, 3] - srect[:, 1], 0)
         svalid = gathered.valid & (snt > 0)
@@ -98,8 +107,7 @@ def render_frame_sharded(
 
         # Per-slab boundary extraction: the reference's last-run quirk is a
         # global-buffer artifact; applying it per slab would drop one run per
-        # device, so it is disabled here (multi-chip output is the quirk-free
-        # image).
+        # device, so multi-chip output is the quirk-free image.
         slab_cfg = cfg.replace(height=rows_per * cfg.tile_size,
                                width=cfg.target_size[0], render_scale=1.0,
                                reference_boundary_quirk=False)
@@ -107,34 +115,30 @@ def render_frame_sharded(
                               slab_cfg, capacity=k_local)
         start, end = tile_boundaries(pairs.keys, pairs.num_pairs, slab_cfg)
 
-        # --- stage 4: render the slab ---
         out = render_tiles(pairs.values, start, end, gathered.image_pos,
                            gathered.conic, gathered.color, heatmap,
                            slab_cfg, tile_capacity=tile_capacity,
                            pixel_offset=(0, y0 * cfg.tile_size))
         total_pairs = jax.lax.psum(pairs.num_pairs, "tile")
-        return out.image[None], total_pairs[None]
+        slab_over = jax.lax.psum(
+            jnp.maximum(pairs.num_pairs - k_local, 0), "tile")
+        return out.image[None], total_pairs[None], slab_over[None]
 
-    # Splat arrays: axis 0 = splats → shard over "tile".
     splat_spec = P("tile")
     uni_spec = P("view")
     step_sharded = shard_map(
         step, mesh=mesh,
         in_specs=(splat_spec, splat_spec, splat_spec, splat_spec, splat_spec,
                   uni_spec, uni_spec, uni_spec, uni_spec, uni_spec, uni_spec),
-        out_specs=(P("view", "tile"), P("view")),
+        out_specs=(P("view", "tile"), P("view"), P("view")),
     )
 
-    img, npairs = step_sharded(
+    img, npairs, nover = step_sharded(
         cloud.means, cloud.cov3d, cloud.opacity, cloud.sh, cloud.upload_time,
         uniforms.view, uniforms.proj, uniforms.camera_pos,
         uniforms.model_scale, uniforms.time, uniforms.heatmap_factor)
-    return img, npairs
-
-
-def stack_uniforms(unis) -> FrameUniforms:
-    """Stack per-camera FrameUniforms into the view-batched form."""
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *unis)
+    h = cfg.target_size[1]
+    return img[:, :h], npairs, nover
 
 
 def render_frame_fast_sharded(
@@ -144,26 +148,37 @@ def render_frame_fast_sharded(
     mesh: Mesh,
     supertile_cap: int = 1024,
     tile_cap: int = 256,
+    exchange_cap: int | None = None,
+    chain: str = "mm_bf16",
+    xmask: bool = True,
     interpret: bool = False,
 ):
     """Multi-chip fast path over the ("view", "tile") mesh.
 
-    Work split (one view): projection AND the per-superblock re-cluster sort
-    — the two heavy prep stages — run data-parallel over the sharded splat
-    axis (superblocks never cross shard boundaries, so the block structure is
-    identical to single-chip). The compact BlockFrame is then all-gathered
-    over ICI and each device bins + renders its own slab of tile rows.
-    Returns (n_view, H, W, 4) images, view/row sharded.
+    Work split (one view): projection AND the block build — the heavy prep
+    stages — run data-parallel over the sharded splat axis (superblocks never
+    cross shard boundaries, so the block structure is identical to
+    single-chip). Blocks then move to the devices whose tile-row slabs their
+    rects intersect via ONE fixed-capacity lax.all_to_all (payload + packed
+    metadata); each device bins + renders its slab with the v2 Pallas kernel.
+
+    Returns (images (n_view, H, W, 4), num_pairs (n_view,),
+    num_exchange_overflow (n_view,)). exchange_cap is the per-(src, dst)
+    block budget; default 4·B_local/n_tile (clamped to B_local, i.e. a
+    lossless exchange whenever a shard's blocks fit).
     """
-    from ..ops.blocks import BLOCK_SIZE, build_block_frame
-    from ..ops.binning import bin_blocks
-    from ..ops.render_pallas import assemble_image, render_tiles_pallas
+    from ..ops.blocks2 import BLOCK_SIZE, BlockFrame2, build_block_frame2
+    from ..ops.binning2 import bin_blocks2
+    from ..ops.render_pallas2 import assemble_image_v2, render_tiles_v2
 
     n_tile = mesh.shape["tile"]
     rows_per = _slab_rows(cfg, n_tile)
     assert cloud.capacity % (BLOCK_SIZE * n_tile) == 0, (
         f"capacity {cloud.capacity} must split into whole blocks "
         f"across {n_tile} devices")
+    b_local = cloud.capacity // BLOCK_SIZE // n_tile
+    k_x = exchange_cap or min(b_local, max(-(-4 * b_local // n_tile), 16))
+    k_x = min(k_x, b_local)
 
     def step(means, cov3d, opac, sh, uptime, view, proj, cam_pos,
              model_scale, time, heatmap):
@@ -172,24 +187,65 @@ def render_frame_fast_sharded(
 
         prj = project_splats(means, cov3d, opac, sh, uptime,
                              view, proj, cam_pos, model_scale, time, cfg)
-        bf = build_block_frame(prj, cfg)          # local superblocks only
-        bf = jax.tree.map(
-            lambda x: jax.lax.all_gather(x, "tile", tiled=True)
-            if x.ndim > 0 else jax.lax.psum(x, "tile"), bf)
+        bf = build_block_frame2(prj, cfg,         # local superblocks only
+                                num_splats=max(cloud.num_splats // n_tile, 1))
+
+        # --- block exchange: local blocks -> owning slabs ------------------
+        r = bf.rect                               # (B_loc, 4) global tiles
+        nonempty = (r[:, 2] > r[:, 0]) & (r[:, 3] > r[:, 1])
+        dst = jnp.arange(n_tile, dtype=jnp.int32)[:, None]
+        dy0 = dst * rows_per
+        inter = ((r[:, 1][None] < dy0 + rows_per) & (r[:, 3][None] > dy0)
+                 & nonempty[None])                # (n_tile, B_loc)
+        bigk = jnp.uint32(0xFFFFFFFF)
+        selkey = jnp.where(
+            inter, jnp.arange(b_local, dtype=jnp.uint32)[None], bigk)
+        selkey = jax.lax.sort(selkey, dimension=1)[:, :k_x]  # (n_tile, k_x)
+        sel_ok = selkey != bigk
+        sel = jnp.where(sel_ok, selkey, 0).astype(jnp.int32)
+        n_int = jnp.sum(inter, axis=1)
+        over = jnp.sum(jnp.maximum(n_int - k_x, 0))
+
+        def take(a):
+            return jnp.take(a, sel.reshape(-1), axis=0).reshape(
+                (n_tile, k_x) + a.shape[1:])
+
+        pay_s = take(bf.payload)                  # (n_tile, k_x, 16, S)
+        rect_s = jnp.where(sel_ok[..., None], take(bf.rect), 0)
+        bm_s = jnp.where(sel_ok, take(bf.bitmap), 0)
+        mm_s = jnp.where(sel_ok, (take(bf.min_depth) << 16)
+                         | (take(bf.max_depth) & 0xFFFF), bigk)
+        bc_s = jnp.where(sel_ok, take(bf.bc), 0)
+        nv_s = jnp.where(sel_ok, take(bf.num_valid), 0)
+
+        def a2a(x):
+            return jax.lax.all_to_all(x, "tile", split_axis=0,
+                                      concat_axis=0)
+
+        pool = BlockFrame2(
+            payload=a2a(pay_s).reshape(n_tile * k_x, *bf.payload.shape[1:]),
+            rect=a2a(rect_s).reshape(n_tile * k_x, 4),
+            bitmap=a2a(bm_s).reshape(-1),
+            min_depth=(lambda m: m >> 16)(a2a(mm_s).reshape(-1)),
+            max_depth=(lambda m: m & 0xFFFF)(a2a(mm_s).reshape(-1)),
+            bc=a2a(bc_s).reshape(-1),
+            num_valid=a2a(nv_s).reshape(-1),
+            num_culled_pairs=bf.num_culled_pairs,
+        )
 
         slab = jax.lax.axis_index("tile")
         y0 = slab * rows_per
         slab_cfg = cfg.replace(height=rows_per * cfg.tile_size,
                                width=cfg.target_size[0], render_scale=1.0)
-        bins = bin_blocks(bf, slab_cfg, supertile_cap=supertile_cap,
-                          tile_cap=tile_cap, tile_row_offset=y0)
-        tiles = render_tiles_pallas(
-            bf.payload, bins.tile_blocks, bins.tile_nblocks,
-            bins.tile_candidates, heatmap, slab_cfg, interpret=interpret,
-            pixel_offset_y=y0 * cfg.tile_size)
-        image, _ = assemble_image(tiles, slab_cfg)
-        # num_culled_pairs was already psum'd to the global total above.
-        return image[None], bf.num_culled_pairs[None]
+        bins = bin_blocks2(pool, slab_cfg, supertile_cap=supertile_cap,
+                           tile_cap=tile_cap, tile_row_offset=y0)
+        tiles = render_tiles_v2(
+            pool.payload, bins, heatmap, slab_cfg, chain=chain, xmask=xmask,
+            interpret=interpret, pixel_offset_y=y0 * cfg.tile_size)
+        image, _ = assemble_image_v2(tiles, slab_cfg)
+        total_pairs = jax.lax.psum(bf.num_culled_pairs, "tile")
+        total_over = jax.lax.psum(over, "tile")
+        return image[None], total_pairs[None], total_over[None]
 
     splat_spec = P("tile")
     uni_spec = P("view")
@@ -197,11 +253,13 @@ def render_frame_fast_sharded(
         step, mesh=mesh,
         in_specs=(splat_spec, splat_spec, splat_spec, splat_spec, splat_spec,
                   uni_spec, uni_spec, uni_spec, uni_spec, uni_spec, uni_spec),
-        out_specs=(P("view", "tile"), P("view")),
+        out_specs=(P("view", "tile"), P("view"), P("view")),
         # pallas_call inside shard_map cannot declare per-axis vma yet
         check_vma=False,
     )
-    return step_sharded(
+    img, npairs, nover = step_sharded(
         cloud.means, cloud.cov3d, cloud.opacity, cloud.sh, cloud.upload_time,
         uniforms.view, uniforms.proj, uniforms.camera_pos,
         uniforms.model_scale, uniforms.time, uniforms.heatmap_factor)
+    h = cfg.target_size[1]
+    return img[:, :h], npairs, nover

@@ -15,7 +15,53 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
+# Stage names per pipeline (the reference's set is the exact-mode one,
+# gaussian_splatting_rasterizer.gd:135-160).
 STAGE_NAMES = ("Projection", "Sort", "Boundaries", "Render")
+STAGE_NAMES_FAST = ("Projection", "Blocks", "Binning", "Render")
+
+_dispatch_overhead_ms: Optional[float] = None
+
+
+def dispatch_overhead_ms() -> float:
+    """Calibrated fixed cost of one dispatch + 1-element readback.
+
+    On the tunneled TPU in this environment that is ~25 ms — far larger than
+    most stages — so per-stage wall times subtract it (clamped at 0). On a
+    local chip it is ~0.1 ms and the correction is negligible."""
+    global _dispatch_overhead_ms
+    if _dispatch_overhead_ms is None:
+        import jax
+        import jax.numpy as jnp
+        f = jax.jit(lambda x: x * 2.0)
+        x = jnp.ones((8, 128), jnp.float32)
+        np.asarray(f(x))  # compile
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(f(x)).ravel()[:1]
+            ts.append(time.perf_counter() - t0)
+        _dispatch_overhead_ms = min(ts) * 1e3
+    return _dispatch_overhead_ms
+
+
+def make_stage_timer(timings: "StageTimings", subtract_overhead: bool = True):
+    """Returns a `timer(name, probe)` context-manager factory for staged
+    pipelines (the analogue of capture_timestamp around each dispatch,
+    gaussian_splatting_rasterizer.gd:135-160). `probe()` is evaluated at
+    scope exit and one element of its result is read back to host, forcing
+    the stage to complete; the calibrated dispatch overhead is subtracted."""
+    oh = dispatch_overhead_ms() if subtract_overhead else 0.0
+
+    @contextlib.contextmanager
+    def timer(name: str, probe):
+        t0 = time.perf_counter()
+        yield   # on exception: skip the probe (it reads the stage's output)
+        force_readback(probe())
+        ms = (time.perf_counter() - t0) * 1e3
+        timings.record(name, max(ms - oh, 0.0))
+
+    return timer
 
 
 class StageTimings:
@@ -48,21 +94,6 @@ class StageTimings:
 
     def as_dict(self) -> Dict[str, float]:
         return dict(self._ms)
-
-
-@contextlib.contextmanager
-def stage_timer(timings: StageTimings, name: str, force_sync=None):
-    """Time a stage; force_sync is called on the stage output to defeat async
-    dispatch (host readback — block_until_ready is not sufficient on tunneled
-    platforms)."""
-    t0 = time.perf_counter()
-    box = {}
-    try:
-        yield box
-    finally:
-        if force_sync is not None and "out" in box:
-            force_sync(box["out"])
-        timings.record(name, (time.perf_counter() - t0) * 1e3)
 
 
 def force_readback(x) -> None:

@@ -17,6 +17,9 @@ def main():
                     help="render a synthetic scene of N splats instead")
     ap.add_argument("--size", default="1280x720")
     ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--host", default="127.0.0.1",
+                    help="bind address (default loopback; 0.0.0.0 exposes "
+                         "the mutable viewer API to the network)")
     ap.add_argument("--quality", choices=["fast", "exact"], default="fast")
     ap.add_argument("--offline", metavar="DIR", default=None,
                     help="render an orbit trajectory to PNGs and exit")
@@ -46,7 +49,7 @@ def main():
         print(summary)
     else:
         from .server import serve
-        serve(r, port=args.port)
+        serve(r, port=args.port, host=args.host)
 
 
 if __name__ == "__main__":

@@ -62,6 +62,9 @@ class FreeLookController:
         self.pitch = 0.0
         self.orbit_position = np.array([0.0, 0.0, 2.0], np.float32)  # -FORWARD*2
         self.target_position = self.camera.position.copy()
+        self.orbit_time = 1.0     # camera.gd:32 — swing interpolation clock
+        self._swing_from = None   # (yaw, pitch) at orbit entry
+        self._swing_to = None
         self._sync_basis()
 
     # -- pose helpers --------------------------------------------------------
@@ -81,6 +84,7 @@ class FreeLookController:
             self._sync_basis()
 
         if mode == self.ORBIT:
+            self._swing_update(dt, fps)
             self._orbit_update(dt, inputs)
         else:
             self._fly_update(dt, inputs)
@@ -146,6 +150,54 @@ class FreeLookController:
         self.camera = dataclasses.replace(self.camera, position=pos)
         self.camera = self.camera.look_at(self.orbit_position)
         self.target_position = pos.copy()
+
+    # -- orbit entry swing ----------------------------------------------------
+
+    def start_orbit(self):
+        """OrbitSwapTimer timeout (camera.gd:36-42): aim a target pose at the
+        orbit point; the camera swings onto it over ~0.4 s with the
+        reference's cubic ease (camera.gd:130-138). Skips the interpolation
+        when already facing the orbit point."""
+        rel = self.orbit_position - self.camera.position
+        d = float(np.linalg.norm(rel))
+        if d < 1e-9:
+            self.orbit_time = 1.0
+            return
+        fwd = rel / d
+        to_yaw = math.degrees(math.atan2(-fwd[0], -fwd[2]))
+        to_pitch = float(np.clip(math.degrees(math.asin(fwd[1])),
+                                 PITCH_MIN, PITCH_MAX))
+        # unwrap yaw to the nearest representation
+        while to_yaw - self.yaw > 180.0:
+            to_yaw -= 360.0
+        while to_yaw - self.yaw < -180.0:
+            to_yaw += 360.0
+        aligned = (abs(to_yaw - self.yaw) < 0.5
+                   and abs(to_pitch - self.pitch) < 0.5)
+        self.orbit_time = 1.0 if aligned else 0.0
+        self._swing_from = (self.yaw, self.pitch)
+        self._swing_to = (to_yaw, to_pitch)
+
+    def _swing_update(self, dt: float, fps: float):
+        if self.orbit_time >= 0.4 or self._swing_from is None:
+            return
+        self.orbit_time += dt
+        # camera.gd:136: smoothing is less at lower fps
+        k = 1.0 - (1.0 - min(fps / 180.0, 1.0)) * 0.9  # lerp(1, 0.1, ...)
+        ot = self.orbit_time
+        t = 1.0 - (1.0 - ot * (1.0 + (0.1 - 1.0) * min(fps / 180.0, 1.0))) \
+            ** 3 if ot < 0.4 else 1.0
+        del k
+        t = float(np.clip(t, 0.0, 1.0))
+        y0, p0 = self._swing_from
+        y1, p1 = self._swing_to
+        self.yaw = y0 + (y1 - y0) * t
+        self.pitch = p0 + (p1 - p0) * t
+        self._sync_basis()
+        if ot >= 0.4 or t >= 1.0:
+            self.yaw, self.pitch = y1, p1
+            self._swing_from = None
+            self._sync_basis()
 
     # -- discrete events ------------------------------------------------------
 

@@ -2,29 +2,36 @@
 
 The TPU-native replacement for the reference's interactive app layer
 (main.gd + the vendored imgui-godot overlay): the browser is the display and
-input device; this process owns the rasterizer. Feature parity with the
-ImGui panel (main.gd:34-75):
+input device; this process owns the rasterizer AND the camera. Feature
+parity with the ImGui panel (main.gd:34-75):
 
   * live FPS / frame-ms, loaded file, splat & pair counts w/ overflow flag,
-    memory use, render size, per-stage timings   → /stats JSON, shown in the
-    HTML side panel
+    memory use, render size, per-stage timings, camera state → /stats JSON
   * sliders: render scale, model scale, FOV; heatmap & pause checkboxes
-  * camera: free-look (RMB drag + WASDQE), orbit (LMB drag), wheel zoom —
-    the FreeLookCamera behaviors (util/camera.gd) reimplemented client-side
-    against the same pose math, with pitch clamped to [-80°, 70°]
-  * click picking → camera focus (main.gd:86-91)
+  * camera basis Override / Reset buttons (main.gd:63-68) + camera Reset
   * drag-and-drop .ply loading (main.gd:29-30) via POST /load
-  * pause-on-idle power saver (main.gd:146-152): the server only renders
-    when the camera/state changed or a load is in progress
+  * pause-on-idle power saver (main.gd:146-152)
+
+Camera parity (util/camera.gd, driven by viewer/controller.py SERVER-side —
+the browser only streams raw input):
+
+  * RMB: true in-place free-look; WASDQE fly with accel 30 / drag -10 /
+    vel 4 / shift x2.5 / alt x0.4 (camera.gd:104-128)
+  * LMB held > 0.135 s: orbit mode around the focus point with the
+    swing-to-face transition (OrbitSwapTimer, main.tscn:48-51;
+    camera.gd:36-42,130-138); quick LMB click: splat pick → focus
+    (main.gd:86-91)
+  * wheel: zoom in 0.25 steps, min distance 0.75 (camera.gd:75-81)
+
+Security: binds 127.0.0.1 by default; pass --host 0.0.0.0 explicitly to
+expose it (POSTs mutate renderer state and /load accepts model uploads).
 
 Run: python -m godotgaussiansplatting_tpu.viewer [model.ply] [--port 8000]
 """
 
 from __future__ import annotations
 
-import io
 import json
-import math
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -32,8 +39,10 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 from ..engine.rasterizer import Rasterizer
-from ..models.camera import Camera
 from ..utils.image import encode_jpeg_fallback_png
+from .controller import FreeLookController, InputState
+
+ORBIT_SWAP_S = 0.135   # main.tscn:48-51 OrbitSwapTimer wait_time
 
 _PAGE = """<!DOCTYPE html>
 <html><head><title>gsplat-tpu viewer</title><style>
@@ -43,6 +52,7 @@ body{margin:0;background:#111;color:#ddd;font:13px monospace;display:flex}
 #panel{width:330px;padding:12px;background:#1a1a1f;overflow-y:auto}
 #panel h3{margin:8px 0 4px;color:#8cf}
 #panel label{display:block;margin:5px 0}
+#panel button{margin:2px;background:#2a2a33;color:#ddd;border:1px solid #444}
 input[type=range]{width:150px;vertical-align:middle}
 pre{color:#aaa;white-space:pre-wrap}
 #loadbar{position:fixed;top:0;left:0;height:4px;background:#6cf;width:0%;
@@ -67,65 +77,77 @@ pre{color:#aaa;white-space:pre-wrap}
    <span id=mscale_v>1.00</span></label>
  <label>FOV <input type=range id=fov min=20 max=170 step=1 value=75>
    <span id=fov_v>75</span></label>
- <div>RMB drag: free-look · WASDQE: fly · LMB drag: orbit · wheel: zoom ·
- click: focus</div>
+ <div>Camera Basis:
+  <button id=override>Override</button>
+  <button id=breset>Reset</button></div>
+ <div><button id=camreset>Reset Camera</button></div>
+ <div>RMB drag: free-look · WASDQE: fly (shift fast / alt slow) ·
+ LMB drag: orbit · LMB click: focus · wheel: zoom</div>
 </div>
 <script>
 const img = document.getElementById('img');
-let state = {yaw:180, pitch:0, pos:[0,0,0], dist:2, orbit:[0,0,-2],
-             fov:75, rscale:1, mscale:1, heatmap:0, pause:1};
-let dirty = true, mode = null, last = null, keys = {};
+let ui = {fov:75, rscale:1, mscale:1, heatmap:0, pause:1};
+let uiDirty = true;
+let keys = {}, dx = 0, dy = 0, wheel = 0, lmb = 0, rmb = 0;
+let pick = null;
 function post(u,b){return fetch(u,{method:'POST',body:JSON.stringify(b)})}
-img.addEventListener('mousedown', e => {mode = e.button===2?'look':'orbit'; last=[e.clientX,e.clientY]; e.preventDefault();});
+img.addEventListener('mousedown', e => {
+  if (e.button === 2) rmb = 1; else if (e.button === 0) lmb = 1;
+  e.preventDefault();});
 window.addEventListener('mouseup', e => {
-  if (mode==='orbit' && last && Math.abs(e.clientX-last[0])<3) {
+  if (e.button === 2) rmb = 0;
+  else if (e.button === 0) {
+    lmb = 0;
     const r = img.getBoundingClientRect();
-    post('/pick', {x:(e.clientX-r.left)/r.width, y:(e.clientY-r.top)/r.height});
-  }
-  mode=null;});
+    pick = {x:(e.clientX-r.left)/r.width, y:(e.clientY-r.top)/r.height};
+  }});
 window.addEventListener('mousemove', e => {
-  if(!mode) return;
-  const dx = e.movementX*0.4, dy = e.movementY*0.4;
-  state.yaw -= dx; state.pitch = Math.max(-80, Math.min(70, state.pitch - dy));
-  dirty = true;});
+  if (lmb || rmb) { dx += e.movementX; dy += e.movementY; }});
 img.addEventListener('contextmenu', e=>e.preventDefault());
-img.addEventListener('wheel', e => {state.dist = Math.max(0.75, state.dist + (e.deltaY>0?0.25:-0.25)); dirty=true; e.preventDefault();});
+img.addEventListener('wheel', e => {wheel += e.deltaY>0?1:-1; e.preventDefault();});
 window.addEventListener('keydown', e=>{keys[e.key.toLowerCase()]=1;});
 window.addEventListener('keyup', e=>{keys[e.key.toLowerCase()]=0;});
 setInterval(()=>{
-  const sp = (keys['shift']?2.5:1)*0.08;
-  let m=[0,0,0];
-  if(keys['w'])m[2]-=sp; if(keys['s'])m[2]+=sp;
-  if(keys['a'])m[0]-=sp; if(keys['d'])m[0]+=sp;
-  if(keys['q'])m[1]-=sp; if(keys['e'])m[1]+=sp;
-  if(m[0]||m[1]||m[2]){post('/move',{m:m}); dirty=true;}
+  const b = {keys:{w:keys['w']||0, a:keys['a']||0, s:keys['s']||0,
+                   d:keys['d']||0, q:keys['q']||0, e:keys['e']||0,
+                   shift:keys['shift']||0, alt:keys['alt']||0},
+             dx:dx, dy:dy, wheel:wheel, lmb:lmb, rmb:rmb, pick:pick};
+  dx = 0; dy = 0; wheel = 0; pick = null;
+  post('/input', b);
 }, 33);
-for (const id of ['heatmap','pause']) document.getElementById(id).onchange = e => {state[id]=e.target.checked?1:0; dirty=true;};
-for (const id of ['rscale','mscale','fov']) document.getElementById(id).oninput = e => {state[id]=parseFloat(e.target.value); document.getElementById(id+'_v').textContent=e.target.value; dirty=true;};
+for (const id of ['heatmap','pause']) document.getElementById(id).onchange =
+  e => {ui[id]=e.target.checked?1:0; uiDirty=true;};
+for (const id of ['rscale','mscale','fov']) document.getElementById(id).oninput =
+  e => {ui[id]=parseFloat(e.target.value);
+        document.getElementById(id+'_v').textContent=e.target.value; uiDirty=true;};
+document.getElementById('override').onclick = ()=>post('/basis',{op:'override'});
+document.getElementById('breset').onclick = ()=>post('/basis',{op:'reset'});
+document.getElementById('camreset').onclick = ()=>post('/camreset',{});
 window.addEventListener('dragover', e=>e.preventDefault());
 window.addEventListener('drop', async e => {
   e.preventDefault();
   const f = e.dataTransfer.files[0];
-  if (f && f.name.endsWith('.ply')) {
+  if (f && f.name.endsWith('.ply'))
     await fetch('/load', {method:'POST', body: await f.arrayBuffer()});
-    dirty = true;
-  }});
+});
 async function loop(){
   while(true){
-    if(dirty){ dirty=false; await post('/state', state); }
+    if(uiDirty){ uiDirty=false; await post('/state', ui); }
     const r = await fetch('/frame');
-    const b = await r.blob();
-    img.src = URL.createObjectURL(b);
+    img.src = URL.createObjectURL(await r.blob());
     const s = await (await fetch('/stats')).json();
     document.getElementById('stats').textContent = s.panel;
     document.getElementById('loadbar').style.width =
       (s.progress < 1 ? (s.progress*100)+'%' : '0%');
+    document.getElementById('override').disabled = s.has_override;
+    document.getElementById('breset').disabled = !s.has_override;
     const cur = document.getElementById('cursor');
     if (s.cursor) {
-      const r = img.getBoundingClientRect();
+      const rr = img.getBoundingClientRect();
       cur.style.display = 'block';
-      cur.style.left = (s.cursor[0]*r.width) + 'px';
-      cur.style.top = (s.cursor[1]*r.height) + 'px';
+      cur.style.left = (s.cursor[0]*rr.width) + 'px';
+      cur.style.top = (s.cursor[1]*rr.height) + 'px';
+      cur.style.opacity = s.cursor_alpha;
     } else cur.style.display = 'none';
   }
 }
@@ -134,25 +156,29 @@ loop();
 
 
 class ViewerState:
+    """Server-side camera + UI state. The FreeLookController integrates the
+    reference camera physics from raw input ticks (camera.gd parity)."""
+
     def __init__(self, rasterizer: Rasterizer):
         self.r = rasterizer
         self.lock = threading.Lock()
-        self.yaw, self.pitch = 180.0, 0.0
-        self.dist = 2.0
-        self.orbit = np.array([0.0, 0.0, -2.0], np.float32)  # godot frame
-        self.cursor_frac = None   # picked point in [0,1]² image coords
+        self.ctl = FreeLookController()
+        self.mode = FreeLookController.NONE
+        self.lmb_down_at = None
+        self.cursor_frac = None
+        self.cursor_set_at = 0.0
         self.fov = 75.0
         self.pause_allowed = True
         self.last_change = time.monotonic()
+        self.last_tick = time.monotonic()
         self.frame_png = encode_jpeg_fallback_png(
             np.zeros((8, 8, 3), np.float32))
-        self.fps = 0.0
+        self.fps = 30.0
 
-    def apply(self, st: dict):
+    # -- UI state (sliders / checkboxes, main.gd:49-62) ---------------------
+
+    def apply_ui(self, st: dict):
         with self.lock:
-            self.yaw = float(st.get("yaw", self.yaw))
-            self.pitch = float(st.get("pitch", self.pitch))
-            self.dist = float(st.get("dist", self.dist))
             self.fov = float(st.get("fov", self.fov))
             self.r.should_enable_heatmap = bool(st.get("heatmap", 0))
             self.pause_allowed = bool(st.get("pause", 1))
@@ -162,37 +188,119 @@ class ViewerState:
             self.r.model_scale = float(st.get("mscale", self.r.model_scale))
             self.last_change = time.monotonic()
 
-    def camera(self) -> Camera:
-        cam = Camera(fov_y=self.fov).with_yaw_pitch(self.yaw, self.pitch)
-        fwd = -cam.basis[:, 2]
-        cam.position = (self.orbit - fwd * self.dist).astype(np.float32)
-        return cam
+    # -- input tick (camera.gd:44-101 + main.gd:86-91) ----------------------
 
-    def move(self, m):
+    def apply_input(self, b: dict):
+        now = time.monotonic()
         with self.lock:
-            cam = self.camera()
-            delta = (cam.basis @ np.asarray(m, np.float32)).astype(np.float32)
-            self.orbit = self.orbit + delta
+            dt = min(now - self.last_tick, 0.1)
+            self.last_tick = now
+            k = b.get("keys", {})
+            lmb, rmb = b.get("lmb", 0), b.get("rmb", 0)
+
+            # Mode state machine: RMB → free-look immediately; LMB → orbit
+            # after the 0.135 s swap timer; LMB release below the timer is a
+            # pick (handled via b["pick"], sent by the client on mouseup).
+            if rmb:
+                self.mode = FreeLookController.FREE_LOOK
+                self.lmb_down_at = None
+            elif lmb:
+                if self.lmb_down_at is None:
+                    self.lmb_down_at = now
+                    self.mode = FreeLookController.NONE
+                elif (self.mode != FreeLookController.ORBIT
+                      and now - self.lmb_down_at >= ORBIT_SWAP_S):
+                    self.ctl.start_orbit()
+                    self.mode = FreeLookController.ORBIT
+            else:
+                self.mode = FreeLookController.NONE
+                self.lmb_down_at = None
+
+            inputs = InputState(
+                forward=bool(k.get("w")), back=bool(k.get("s")),
+                left=bool(k.get("a")), right=bool(k.get("d")),
+                down=bool(k.get("q")), up=bool(k.get("e")),
+                shift=bool(k.get("shift")), alt=bool(k.get("alt")),
+                mouse_dx=float(b.get("dx", 0)),
+                mouse_dy=float(b.get("dy", 0)))
+            moved = (any([inputs.forward, inputs.back, inputs.left,
+                          inputs.right, inputs.up, inputs.down])
+                     or inputs.mouse_dx or inputs.mouse_dy
+                     or float(np.abs(self.ctl.velocity).max()) > 1e-4
+                     or self.ctl.orbit_time < 0.4)
+            self.ctl.update(dt, inputs, self.mode, fps=max(self.fps, 1.0))
+
+            w = int(b.get("wheel", 0))
+            if w:
+                self.ctl.zoom(-w)
+                moved = True
+            if moved:
+                self.last_change = now
+
+            pick = b.get("pick")
+        if pick and self.mode == FreeLookController.NONE:
+            self._pick(pick)
+
+    def _pick(self, p):
+        w, h = self.r.texture_size
+        pos = self.r.get_splat_position(
+            (p["x"] * w / max(self.r.render_scale, 1e-6),
+             p["y"] * h / max(self.r.render_scale, 1e-6)))
+        if np.all(np.isfinite(pos)):
+            with self.lock:
+                # godot frame: (-x, -y, z) applied by get_splat_position
+                self.ctl.set_focused_position(pos)
+                self.cursor_frac = [p["x"], p["y"]]
+                self.cursor_set_at = time.monotonic()
+                self.last_change = time.monotonic()
+
+    # -- discrete buttons -----------------------------------------------------
+
+    def basis(self, op: str):
+        with self.lock:
+            if op == "override":
+                # main.gd:66: override = (camera_basis · current_override)⁻¹
+                b = self.ctl.camera.basis @ self.r.basis_override
+                self.r.basis_override = np.linalg.inv(b).astype(np.float32)
+            else:
+                self.r.basis_override = np.eye(3, dtype=np.float32)
             self.last_change = time.monotonic()
+
+    def cam_reset(self):
+        with self.lock:
+            self.ctl.reset()
+            self.cursor_frac = None
+            self.last_change = time.monotonic()
+
+    # -- render loop ----------------------------------------------------------
 
     def render_loop(self):
         """Background render thread with the reference's pause-on-idle
-        behavior (main.gd:146-152): idle → ~2 Hz keepalive renders."""
+        behavior (main.gd:146-152)."""
         while True:
             idle = (time.monotonic() - self.last_change) > 2.0
             if idle and self.pause_allowed and self.r.is_loaded:
                 time.sleep(0.5)
                 continue
             with self.lock:
-                self.r.camera = self.camera()
+                import dataclasses
+                self.r.camera = dataclasses.replace(self.ctl.camera,
+                                                    fov_y=self.fov)
             t0 = time.perf_counter()
-            self.r.rasterize(sync=True)
-            img = self.r.image()
+            try:
+                self.r.rasterize(sync=True)
+                img = self.r.image()
+            except Exception:
+                time.sleep(0.5)
+                continue
             self.fps = 1.0 / max(time.perf_counter() - t0, 1e-6)
             self.frame_png = encode_jpeg_fallback_png(img)
 
+    # -- stats panel (main.gd:38-75, 93-119) ----------------------------------
+
     def panel_text(self) -> str:
         info = self.r.debug_info()
+        cam = self.ctl.camera
         lines = [
             f"FPS:             {self.fps:5.1f} ({1e3 / max(self.fps, 1e-6):.2f}ms)",
             f"Loaded:          {'(loading...)' if not info['is_loaded'] else 'yes'}"
@@ -202,11 +310,18 @@ class ViewerState:
             f"Rendered Size:   {info['texture_size']}",
             f"VRAM Used:       {info.get('memory_used', 'n/a')}",
             "", "Stage Timings",
-        ] + info["timing_lines"]
+        ] + info["timing_lines"] + [
+            "", "Camera",
+            "Cursor Position: "
+            f"{np.round(self.ctl.orbit_position, 2).tolist()}",
+            f"Camera Position: {np.round(cam.position, 2).tolist()}",
+            f"Camera Mode:     {self.mode.replace('_', ' ').title()}",
+        ]
         return "\n".join(lines)
 
 
-def serve(rasterizer: Rasterizer, port: int = 8000):
+def serve(rasterizer: Rasterizer, port: int = 8000,
+          host: str = "127.0.0.1"):
     state = ViewerState(rasterizer)
     threading.Thread(target=state.render_loop, daemon=True).start()
 
@@ -229,10 +344,16 @@ def serve(rasterizer: Rasterizer, port: int = 8000):
             elif self.path == "/stats":
                 prog = (state.r.num_splats_loaded
                         / max(1, state.r.cloud.num_splats))
+                # cursor marker fades out after 1.5 s (cursor.gd:23-29)
+                age = time.monotonic() - state.cursor_set_at
                 self._send(200, json.dumps({
                     "panel": state.panel_text(),
                     "progress": prog,
-                    "cursor": state.cursor_frac,
+                    "cursor": state.cursor_frac if age < 1.5 else None,
+                    "cursor_alpha": max(0.0, 1.0 - age / 1.5),
+                    "has_override": bool(
+                        np.any(state.r.basis_override
+                               != np.eye(3, dtype=np.float32))),
                 }).encode())
             else:
                 self._send(404, b"{}")
@@ -240,30 +361,27 @@ def serve(rasterizer: Rasterizer, port: int = 8000):
         def do_POST(self):
             n = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(n)
-            if self.path == "/state":
-                state.apply(json.loads(body))
-            elif self.path == "/move":
-                state.move(json.loads(body)["m"])
-            elif self.path == "/pick":
-                p = json.loads(body)
-                w, h = state.r.texture_size
-                pos = state.r.get_splat_position(
-                    (p["x"] * w / max(state.r.render_scale, 1e-6),
-                     p["y"] * h / max(state.r.render_scale, 1e-6)))
-                if np.all(np.isfinite(pos)):
-                    # set_focused_position (camera.gd:144-149), godot frame
-                    state.orbit = np.array(
-                        [-pos[0], -pos[1], pos[2]], np.float32)
-                    state.cursor_frac = [p["x"], p["y"]]  # cursor.gd marker
-                    state.last_change = time.monotonic()
+            if self.path == "/input":
+                state.apply_input(json.loads(body))
+            elif self.path == "/state":
+                state.apply_ui(json.loads(body))
+            elif self.path == "/basis":
+                state.basis(json.loads(body).get("op", "reset"))
+            elif self.path == "/camreset":
+                state.cam_reset()
             elif self.path == "/load":
                 state.r.cleanup()
-                state.r = Rasterizer(
-                    bytes(body), texture_size=state.r.texture_size,
-                    stream=True, quality=state.r.quality)
+                # Rebuild at the UNSCALED base resolution: texture_size is
+                # the render_scale-scaled target, so passing it would
+                # compound the downscale on every load.
+                base = (state.r._cfg.width, state.r._cfg.height)
+                rs = state.r.render_scale
+                state.r = Rasterizer(bytes(body), texture_size=base,
+                                     stream=True, quality=state.r.quality)
+                state.r.render_scale = rs
                 state.last_change = time.monotonic()
             self._send(200, b"{}")
 
-    httpd = ThreadingHTTPServer(("0.0.0.0", port), Handler)
-    print(f"viewer at http://localhost:{port}/")
+    httpd = ThreadingHTTPServer((host, port), Handler)
+    print(f"viewer at http://{host}:{port}/")
     httpd.serve_forever()

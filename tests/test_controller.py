@@ -78,3 +78,35 @@ def test_focus_and_reset():
     c.reset()
     assert np.allclose(c.target_position, 0)
     assert c.yaw == 180.0
+
+
+def test_orbit_entry_swing():
+    """camera.gd:36-42,130-138: entering orbit swings the camera to face the
+    orbit point over ~0.4s with cubic easing (no snap)."""
+    from godotgaussiansplatting_tpu.viewer.controller import (
+        FreeLookController, InputState)
+    c = FreeLookController()
+    c.orbit_position = np.array([2.0, 0.0, 2.0], np.float32)
+    c.camera = c.camera.with_yaw_pitch(180.0, 0.0)
+    yaw0 = c.yaw
+    c.start_orbit()
+    assert c.orbit_time == 0.0     # not aligned -> interpolation runs
+    c.update(0.1, InputState(), mode="orbit", fps=60.0)
+    mid_yaw = c.yaw
+    assert mid_yaw != yaw0          # moving...
+    for _ in range(8):
+        c.update(0.1, InputState(), mode="orbit", fps=60.0)
+    # converged: camera now faces the orbit point
+    fwd = -c.camera.basis[:, 2]
+    to_orbit = c.orbit_position - c.camera.position
+    to_orbit = to_orbit / np.linalg.norm(to_orbit)
+    assert float(fwd @ to_orbit) > 0.999
+
+
+def test_orbit_entry_skips_when_aligned():
+    from godotgaussiansplatting_tpu.viewer.controller import (
+        FreeLookController)
+    c = FreeLookController()
+    # default pose already faces the default orbit point (0, 0, 2)
+    c.start_orbit()
+    assert c.orbit_time == 1.0

@@ -56,12 +56,20 @@ def test_single_center_tile_matches_exact():
     uni = make_uniforms(Camera.reset_pose(), cfg)
     fast = render_frame_fast(cloud, uni, cfg, interpret=True)
     exact = render_frame_jit(cloud, uni, cfg, tile_capacity=1024)
+    # 1e-2 bar (not 1e-3): the v2 kernel's documented ε-envelopes vs exact
+    # mode — per-pixel t-cutoff applied at block granularity only, mutual
+    # non-occlusion of equal-depth16 ties, and the <=0.1% opacity clamp —
+    # measure ~5e-3 max on this deep opaque stack (see ops/render_pallas2.py
+    # docstring). Exact mode alone carries the reference 1e-3 parity bar.
     np.testing.assert_allclose(np.asarray(fast.image),
-                               np.asarray(exact.image), atol=1e-3)
+                               np.asarray(exact.image), atol=1e-2)
 
 
 def test_random_scene_psnr():
-    """Random scene: block ordering is approximate; PSNR must stay high."""
+    """Random scene vs exact mode: v2 ordering (intra-block depth sort +
+    lag-1 cross-block masks) must render nearly indistinguishable imagery.
+    Round-1's block-mean ordering measured ~24-26 dB here; the VERDICT bar
+    for v2 is >= 40 dB."""
     cfg = RasterizerConfig(width=128, height=128,
                            reference_boundary_quirk=False)
     cloud = _mortonize(synthetic_scene(4000, seed=5, extent=2.5,
@@ -71,10 +79,7 @@ def test_random_scene_psnr():
     exact = render_frame_jit(cloud, uni, cfg, tile_capacity=512)
     p = _psnr(np.asarray(fast.image)[:, :, :3],
               np.asarray(exact.image)[:, :, :3])
-    # Fast mode trades cross-block depth-order exactness for speed
-    # (ops/blocks.py); this toy scene (few hundred blocks for the whole
-    # screen) is near its worst case. Exact mode holds the 1e-3 oracle bar.
-    assert p > 25.0, f"fast-path PSNR too low: {p:.1f} dB"
+    assert p > 40.0, f"fast-path PSNR too low: {p:.1f} dB"
 
 
 def test_early_exit_changes_nothing():
@@ -103,7 +108,7 @@ def test_heatmap_and_picking_fast():
     # picking: center tile should be occupied
     gx, _ = cfg.tile_dims
     tile = (2 * gx) + 2
-    pos = np.asarray(pick_splat_position_fast(base, tile))
+    pos = np.asarray(pick_splat_position_fast(base, tile, cloud, 1.0, cfg))
     assert np.all(np.isfinite(pos))
     # off-scene tile (top-left corner likely empty in this scene) → inf or hit;
     # at minimum the API returns a well-formed vector
