@@ -1,15 +1,16 @@
 #!/usr/bin/env python
-"""v2 pipeline benchmark: real 5.8M frame data, per-stage + kernel variants.
+"""v3 pipeline benchmark: real headline-scale frame data, per-stage timings.
 
 All timings use in-jit fori_loops (the tunneled TPU costs ~25 ms per
-dispatch). The scene is cached to /tmp so repeated runs skip the ~10 min
-host-side build.
+dispatch, so single-dispatch timing is meaningless). The scene is cached to
+/tmp so repeated runs skip the ~10 min host-side build. Operands are
+threaded as jit ARGUMENTS — closing over multi-hundred-MB arrays embeds
+them as HLO constants and kills the remote compiler.
 
-Usage: python benchmarks/bench_v2.py [n_splats] [tile_size] [variants...]
-Variants: mm_bf16 mm_bf16_x mm_f32 mm_f32_x roll_f32 roll_bf16 (default all)
+Usage: python benchmarks/bench_v3.py [n_splats] [tile_size]
+Env: BENCH_STAGES=0 to skip prep-stage timings.
 """
 
-import functools
 import os
 import sys
 import time
@@ -22,15 +23,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def get_cloud(n):
     """Build (or load) the benchmark scene fully host-side, then upload once.
 
-    Keeping the build on host matters here: device<->host transfers through
-    the axon tunnel are slow, so the cache must be written from numpy arrays
+    Keeping the build on host matters: device<->host transfers through the
+    axon tunnel are slow, so the cache must be written from numpy arrays
     BEFORE anything touches the device."""
     import time as _t
     import jax
     from godotgaussiansplatting_tpu.models.splats import (
         SplatCloud, _pad, build_covariance, PAD_MULTIPLE)
     from godotgaussiansplatting_tpu.ops.blocks import morton_order
-    import godotgaussiansplatting_tpu as gs
     import jax.numpy as jnp
 
     cache = f"/tmp/scene_{n}.npz"
@@ -83,15 +83,15 @@ def get_cloud(n):
     return cl
 
 
-def measure(make_loop, k_hi=9):
+def measure(make_loop, operand, k_hi=9):
     f1, fk = make_loop(1), make_loop(k_hi)
-    np.asarray(f1())
-    np.asarray(fk())
+    np.asarray(f1(operand))
+    np.asarray(fk(operand))
     t1s, tks = [], []
     for _ in range(3):
-        t0 = time.perf_counter(); np.asarray(f1())
+        t0 = time.perf_counter(); np.asarray(f1(operand))
         t1s.append(time.perf_counter() - t0)
-        t0 = time.perf_counter(); np.asarray(fk())
+        t0 = time.perf_counter(); np.asarray(fk(operand))
         tks.append(time.perf_counter() - t0)
     return (min(tks) - min(t1s)) / (k_hi - 1)
 
@@ -106,14 +106,13 @@ def main():
     from godotgaussiansplatting_tpu.ops.pipeline import make_uniforms
     from godotgaussiansplatting_tpu.ops.projection import project_splats
     from godotgaussiansplatting_tpu.ops.blocks2 import build_block_frame2
+    from godotgaussiansplatting_tpu.ops.bigbin import bin_bigs
     from godotgaussiansplatting_tpu.ops.binning2 import bin_blocks2
-    from godotgaussiansplatting_tpu.ops.render_pallas2 import (
-        assemble_image_v2, render_tiles_v2)
+    from godotgaussiansplatting_tpu.ops.render_pallas3 import (
+        assemble_image_v3, render_tiles_v3)
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 5_800_000
     ts = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-    variants = sys.argv[3:] or ["mm_bf16", "mm_bf16_x", "mm_f32_x",
-                                "roll_f32", "roll_bf16"]
     cfg = gs.RasterizerConfig(width=1920, height=1080, quality="fast",
                               tile_size=ts)
     print(f"{n} splats, tile {ts} -> {cfg.tile_dims} tiles,",
@@ -126,13 +125,19 @@ def main():
     print(f"scene ready {time.perf_counter()-t0:.0f}s", flush=True)
 
     # --- stage outputs (single shot) ----------------------------------------
-    prj = jax.jit(lambda: project_splats(
-        cloud.means, cloud.cov3d, cloud.opacity, cloud.sh, cloud.upload_time,
-        uni.view, uni.proj, uni.camera_pos, uni.model_scale, uni.time, cfg))()
-    bf = jax.jit(lambda: build_block_frame2(prj, cfg))()
-    bins = jax.jit(lambda: bin_blocks2(bf, cfg))()
+    prj = jax.jit(
+        lambda c, u: project_splats(
+            c.means, c.cov3d, c.opacity, c.sh, c.upload_time,
+            u.view, u.proj, u.camera_pos, u.model_scale, u.time, cfg),
+    )(cloud, uni)
+    prj = jax.block_until_ready(prj)
+    bf, bigs = jax.jit(
+        lambda p: build_block_frame2(p, cfg, num_splats=n))(prj)
+    bins = jax.jit(lambda b: bin_blocks2(b, cfg))(bf)
+    tbg = jax.jit(lambda b: bin_bigs(b, cfg))(bigs)
 
     nb_arr = np.asarray(bins.tile_nblocks)
+    nbig_arr = np.asarray(tbg.tile_nbig)
     true_pairs = int(np.asarray(prj.num_tiles).sum())
     blk_pairs = int(nb_arr.sum())
     print(f"true splat-tile pairs: {true_pairs/1e6:.1f}M | "
@@ -140,55 +145,66 @@ def main():
           f"(x128 = {blk_pairs*128/1e6:.1f}M, dilution "
           f"{blk_pairs*128/max(true_pairs,1):.2f}x) | "
           f"blocks/tile mean {nb_arr.mean():.1f} max {nb_arr.max()} | "
-          f"overflow {int(np.asarray(bins.overflow))}", flush=True)
+          f"bigs/tile mean {nbig_arr.mean():.1f} | "
+          f"overflow {int(np.asarray(bins.overflow))}"
+          f"+{int(np.asarray(tbg.overflow))}", flush=True)
 
-    # --- stage timings -------------------------------------------------------
+    # --- stage timings ------------------------------------------------------
     def stage_loop(stage_fn, probe):
         def make(K):
             @jax.jit
-            def run():
+            def run(op):
                 def body(i, acc):
-                    return acc + probe(stage_fn(i))
+                    return acc + probe(stage_fn(i, op))
                 return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
             return run
         return make
 
     if os.environ.get("BENCH_STAGES", "1") == "1":
-        def st_blocks(i):
-            p = prj._replace(image_pos=prj.image_pos
-                             + i.astype(jnp.float32) * 1e-7)
-            return build_block_frame2(p, cfg)
+        def st_proj(i, op):
+            c, u = op
+            u2 = u._replace(time=u.time + i.astype(jnp.float32) * 1e-6)
+            return project_splats(
+                c.means, c.cov3d, c.opacity, c.sh, c.upload_time,
+                u2.view, u2.proj, u2.camera_pos, u2.model_scale, u2.time, cfg)
+        tp = measure(stage_loop(
+            st_proj, lambda p: p.image_pos.ravel()[::65536].sum()),
+            (cloud, uni))
+        print(f"proj   : {tp*1e3:7.2f} ms", flush=True)
+
+        def st_blocks(i, p):
+            p = p._replace(image_pos=p.image_pos
+                           + i.astype(jnp.float32) * 1e-7)
+            return build_block_frame2(p, cfg, num_splats=n)
         tb = measure(stage_loop(
-            st_blocks, lambda b: b.payload.ravel()[::65536].sum()))
+            st_blocks,
+            lambda o: o[0].payload.ravel()[::65536].sum()
+            + o[1].table.ravel()[::4096].sum()), prj)
         print(f"blocks2: {tb*1e3:7.2f} ms", flush=True)
 
-        def st_bin(i):
-            b = bf._replace(min_depth=bf.min_depth + i.astype(jnp.uint32) * 0)
-            return bin_blocks2(b, cfg)
+        def st_bin(i, op):
+            b, bg = op
+            b = b._replace(min_depth=jnp.minimum(
+                b.min_depth + i.astype(jnp.uint32), jnp.uint32(0xFFFF)))
+            return bin_blocks2(b, cfg), bin_bigs(bg, cfg)
         tn = measure(stage_loop(
-            st_bin, lambda t: t.tile_nblocks.sum().astype(jnp.float32)))
+            st_bin, lambda o: (o[0].tile_nblocks.sum()
+                               + o[1].tile_nbig.sum()).astype(jnp.float32)),
+            (bf, bigs))
         print(f"bin2   : {tn*1e3:7.2f} ms", flush=True)
 
-    # --- render variants -----------------------------------------------------
-    for var in variants:
-        xmask = var.endswith("_x")
-        chain = var[:-2] if xmask else var
-
-        def st_render(i, chain=chain, xmask=xmask):
-            tiles = render_tiles_v2(
-                bf.payload, bins, jnp.float32(0.0) + i.astype(jnp.float32)
-                * 1e-12, cfg, early_exit=True, chain=chain, xmask=xmask)
-            img, _ = assemble_image_v2(tiles, cfg)
-            return img
-        try:
-            tr = measure(stage_loop(
-                st_render, lambda im: im[::256, ::256, 0].sum()), k_hi=5)
-            blocks_ns = tr / max(blk_pairs, 1) * 1e9
-            print(f"render {var:10s}: {tr*1e3:7.2f} ms "
-                  f"({blocks_ns:5.0f} ns/pair)", flush=True)
-        except Exception as e:
-            print(f"render {var:10s}: FAILED {type(e).__name__}: "
-                  f"{str(e)[:200]}", flush=True)
+    # --- render -------------------------------------------------------------
+    def st_render(i, op):
+        payload, bn, bg = op
+        tiles = render_tiles_v3(
+            payload, bn, bg, jnp.float32(0.0) + i.astype(jnp.float32)
+            * 1e-12, cfg)
+        img, _ = assemble_image_v3(tiles, cfg)
+        return img[::256, ::256, 0].sum()
+    tr = measure(stage_loop(st_render, lambda x: x),
+                 (bf.payload, bins, tbg), k_hi=5)
+    print(f"render : {tr*1e3:7.2f} ms "
+          f"({tr/max(blk_pairs,1)*1e9:5.0f} ns/binned pair)", flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,123 @@
+"""Per-tile big-splat lane binning (v3 fast path).
+
+Bins the extracted BigSet lanes (ops/blocks2.py) directly per tile at LANE
+granularity — the reference's own structure (one duplicated sort pair per
+covered tile, gsplat_projection.glsl:161's rect expansion +
+radix_sort_*.glsl's global order) applied to only the ~0.5% big subset
+where block sharing loses. Per tile the result is an exactly depth-sorted,
+100%-occupancy lane list; the render kernel keeps it resident and blends it
+exactly against the chain stream (ops/render_pallas3.py).
+
+Same two-level supertile compaction as ops/binning2.py, keyed by depth16 so
+per-tile lists come out front-to-back. Tiles whose big count exceeds `obig`
+keep the closest `obig` lanes (the dropped tail is the most-occluded; the
+reference never drops — counted in `overflow`).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RasterizerConfig
+from .blocks2 import DEPTH_INVALID, GATE_OFF, PAYLOAD_WIDTH, _CULL_FAR
+from .binning2 import SUPER
+
+
+class TileBigs(NamedTuple):
+    bigpay: jnp.ndarray     # (T, PW, OBIG) f32 per-tile gathered lane
+                            # payloads, front-to-back; dead lanes sanitized
+    tile_nbig: jnp.ndarray  # (T,) i32
+    overflow: jnp.ndarray   # () i32 tile-lane pairs dropped by caps
+
+
+def bin_bigs(
+    bigs,                       # BigSet
+    cfg: RasterizerConfig,
+    obig: int = 128,
+    supertile_cap: int = 2048,
+    tile_row_offset=0,
+) -> TileBigs:
+    gx, gy = cfg.tile_dims
+    T = gx * gy
+    N = bigs.table.shape[0]
+    C1 = min(supertile_cap, N)
+    OB = min(obig, C1)
+
+    sgx = -(-gx // SUPER)
+    sgy = -(-gy // SUPER)
+    NS = sgx * sgy
+
+    r = bigs.rect
+    sid = jnp.arange(NS, dtype=jnp.int32)
+    ssx = (sid % sgx)[:, None]
+    ssy = (sid // sgx)[:, None]
+    sup_x0 = ssx * SUPER
+    sup_y0 = ssy * SUPER + tile_row_offset
+    covers = ((r[:, 0][None] < sup_x0 + SUPER) & (r[:, 2][None] > sup_x0)
+              & (r[:, 1][None] < sup_y0 + SUPER) & (r[:, 3][None] > sup_y0)
+              & bigs.valid[None])                   # (NS, N)
+
+    inf = jnp.uint32(0xFFFFFFFF)
+    key1 = jnp.where(covers, jnp.broadcast_to(bigs.depth16[None], (NS, N)),
+                     inf)
+    lane = jnp.broadcast_to(jnp.arange(N, dtype=jnp.uint32)[None], (NS, N))
+    k1s, cand = jax.lax.sort((key1, lane), dimension=1, num_keys=1,
+                             is_stable=True)
+    k1s, cand = k1s[:, :C1], cand[:, :C1]
+    cand_valid = k1s != inf
+    over_l1 = jnp.sum(covers) - jnp.sum(cand_valid)
+
+    rects_c = r[cand.astype(jnp.int32)]             # (NS, C1, 4)
+
+    lx = jnp.arange(SUPER, dtype=jnp.int32)
+    tgx = ssx[:, 0][:, None] * SUPER + lx[None]
+    tgy = ssy[:, 0][:, None] * SUPER + lx[None] + tile_row_offset
+    txx = jnp.broadcast_to(tgx[:, None, :], (NS, SUPER, SUPER))
+    tyy = jnp.broadcast_to(tgy[:, :, None], (NS, SUPER, SUPER))
+    txx = txx.reshape(NS, SUPER * SUPER)
+    tyy = tyy.reshape(NS, SUPER * SUPER)
+
+    covers_t = ((rects_c[:, None, :, 0] <= txx[:, :, None])
+                & (txx[:, :, None] < rects_c[:, None, :, 2])
+                & (rects_c[:, None, :, 1] <= tyy[:, :, None])
+                & (tyy[:, :, None] < rects_c[:, None, :, 3])
+                & cand_valid[:, None])              # (NS, 64, C1)
+
+    pos = jnp.broadcast_to(
+        jnp.arange(C1, dtype=jnp.uint32)[None, None], covers_t.shape)
+    key2 = jnp.where(covers_t, pos, jnp.uint32(C1))
+    k2s, sel = jax.lax.sort(
+        (key2, jnp.broadcast_to(cand[:, None], covers_t.shape)),
+        dimension=2, num_keys=1, is_stable=True)
+    hit = k2s[:, :, :OB] != C1
+    sel = jnp.where(hit, sel[:, :, :OB], 0).astype(jnp.int32)
+    nbig = jnp.sum(covers_t, axis=2).astype(jnp.int32)
+    over_l2 = jnp.sum(jnp.maximum(nbig - OB, 0))
+    nbig = jnp.minimum(nbig, OB)
+
+    def to_tiles(a):
+        extra = a.shape[2:] if a.ndim > 2 else ()
+        a = a.reshape(sgy, sgx, SUPER, SUPER, *extra)
+        a = jnp.moveaxis(a, 2, 1)
+        a = a.reshape(sgy * SUPER, sgx * SUPER, *extra)
+        return a[:gy, :gx].reshape(T, *extra)
+
+    sel_t = to_tiles(sel)                           # (T, OB)
+    hit_t = to_tiles(hit)                           # (T, OB)
+
+    tp = bigs.table[sel_t.reshape(-1)]              # (T*OB, PW)
+    tp = tp.reshape(T, OB, PAYLOAD_WIDTH).transpose(0, 2, 1)  # (T, PW, OB)
+    dead = jnp.array(
+        [GATE_OFF] + [0.0] * 8
+        + [_CULL_FAR, _CULL_FAR, 0.0, DEPTH_INVALID, 0.0, 0.0, 0.0],
+        jnp.float32)
+    tp = jnp.where(hit_t[:, None, :], tp, dead[None, :, None])
+
+    return TileBigs(
+        bigpay=tp,
+        tile_nbig=to_tiles(nbig),
+        overflow=(over_l1 + over_l2).astype(jnp.int32),
+    )

@@ -79,12 +79,87 @@ class BlockFrame2(NamedTuple):
                                    # with the reference's sort_buffer_size)
 
 
+class BigSet(NamedTuple):
+    """Globally depth-sorted big-splat lanes (radius >= BIG_RADIUS).
+
+    Big splats break the block hierarchy: grouped per-superblock they get
+    whole-scene depth ranges, grouped by depth they get whole-screen rects —
+    either way they dominated binning dilution and capped fast-path fidelity
+    at ~36 dB in v2. v3 pulls them out of the chains entirely and bins them
+    per TILE at lane granularity (ops/bigbin.py) — the reference's own
+    structure (one duplicated sort pair per covered tile,
+    gsplat_projection.glsl's rect expansion) applied to just the ~0.5% of
+    splats where block sharing loses.
+    """
+
+    table: jnp.ndarray     # (big_cap, PW) f32 payload rows per lane; the
+                           # feature center (rows 14/15) is round(image_pos)
+                           # per lane, so px' stays in [-0.5, 0.5]
+    depth16: jnp.ndarray   # (big_cap,) u32 (invalid = 0xFFFF)
+    rect: jnp.ndarray      # (big_cap, 4) i32 per-lane tile rect
+    valid: jnp.ndarray     # (big_cap,) bool
+    residual: jnp.ndarray  # () i32 bigs beyond capacity (left in chains,
+                           # rendered in approximate chain order)
+
+
+def default_big_cap(P: int) -> int:
+    """Static capacity of the extracted big-splat lane set."""
+    return min(P, max(BLOCK_SIZE * 8, P // 64 // BLOCK_SIZE * BLOCK_SIZE))
+
+
+def _build_big_set(ops, ok, depth16, residual, gx, gy, ts):
+    """Stage-1-sorted operand rows for the taken lanes -> BigSet."""
+    ix, iy, ca, cb, cc, r, g, b, op, rad, idx = ops
+    valid = ok
+    bcx = jnp.clip(jnp.round(ix), 0.0, 16383.0)
+    bcy = jnp.clip(jnp.round(iy), 0.0, 16383.0)
+    ixr = ix - bcx
+    iyr = iy - bcy
+    ln_op = jnp.minimum(jnp.log(jnp.maximum(op, 1e-37)), -1e-3)
+    f0q = -0.5 * (ca * ixr * ixr + cc * iyr * iyr) - cb * ixr * iyr
+    f0 = jnp.where(valid, f0q + ln_op, GATE_OFF)
+    zero = jnp.zeros_like(ix)
+    f1 = jnp.where(valid, ca * ixr + cb * iyr, zero)
+    f2 = jnp.where(valid, cc * iyr + cb * ixr, zero)
+    f3 = jnp.where(valid, -0.5 * ca, zero)
+    f4 = jnp.where(valid, -0.5 * cc, zero)
+    f5 = jnp.where(valid, -cb, zero)
+    ix_p = jnp.where(valid, ix, _CULL_FAR)
+    iy_p = jnp.where(valid, iy, _CULL_FAR)
+    rad_p = jnp.where(valid, rad, zero)
+    depth_f = jnp.where(valid, (depth16 & 0xFFFF).astype(jnp.float32),
+                        DEPTH_INVALID)
+    idx_f = jax.lax.bitcast_convert_type(idx, jnp.float32)
+    table = jnp.stack([
+        f0, f1, f2, f3, f4, f5,
+        jnp.where(valid, r, zero), jnp.where(valid, g, zero),
+        jnp.where(valid, b, zero),
+        ix_p, iy_p, rad_p, depth_f, idx_f, bcx, bcy,
+    ], axis=1)                                     # (big_cap, PW)
+
+    gxf, gyf = jnp.float32(gx), jnp.float32(gy)
+    x0 = jnp.clip((ix_p - rad_p) / ts, 0.0, gxf).astype(jnp.int32)
+    y0 = jnp.clip((iy_p - rad_p) / ts, 0.0, gyf).astype(jnp.int32)
+    x1 = jnp.clip(jnp.ceil((ix_p + rad_p) / ts), 0.0, gxf).astype(jnp.int32)
+    y1 = jnp.clip(jnp.ceil((iy_p + rad_p) / ts), 0.0, gyf).astype(jnp.int32)
+    rect = jnp.where(valid[:, None],
+                     jnp.stack([x0, y0, x1, y1], axis=-1),
+                     jnp.zeros((ix.shape[0], 4), jnp.int32))
+    return BigSet(table=table, depth16=depth16 & 0xFFFF, rect=rect,
+                  valid=valid, residual=residual)
+
+
 def build_block_frame2(prj: ProjectedSplats, cfg: RasterizerConfig,
-                       num_splats: int | None = None) -> BlockFrame2:
-    """ProjectedSplats (padded P = B*S splats, Morton order) -> BlockFrame2.
+                       num_splats: int | None = None,
+                       big_cap: int | None = None):
+    """ProjectedSplats (padded P = B*S splats, Morton order) ->
+    (BlockFrame2, BigSet).
 
     num_splats: true (unpadded) splat count, used only to pick the adaptive
-    cell granularity; defaults to the padded capacity."""
+    cell granularity; defaults to the padded capacity.
+    big_cap: lane capacity of the big-splat extraction (see BigSet). Bigs
+    beyond big_cap stay in their superblock chain (graceful order
+    degradation, never dropped)."""
     S = BLOCK_SIZE
     P = prj.valid.shape[0]
     sb_size = min(SUPERBLOCK, P)
@@ -141,14 +216,38 @@ def build_block_frame2(prj: ProjectedSplats, cfg: RasterizerConfig,
     def blk(x):  # (SB, sb_size) -> (B, S)
         return x.reshape(B, S)
 
+    inf = jnp.uint32(0xFFFFFFFF)
     key_b = blk(s1[0])
-    valid_b = key_b != jnp.uint32(0xFFFFFFFF)
-    is_big = (key_b >> 31) == 1
+    valid_b = key_b != inf
+    is_big = ((key_b >> 31) == 1) & valid_b
     depth_b = jnp.where(is_big, (key_b >> 8) & 0xFFFF, key_b & 0xFFFF)
-    key2 = jnp.where(valid_b, depth_b, jnp.uint32(0xFFFFFFFF))
+    ops_b = tuple(blk(o) for o in s1[1:])          # ix iy ca cb cc r g b o rad idx
+
+    # --- global big-lane extraction (per-tile exact lists, ops/bigbin.py) ---
+    if big_cap is None:
+        big_cap = default_big_cap(P)
+    big_cap = max(big_cap, S)
+    gkey = jnp.where(is_big, depth_b, inf).reshape(P)
+    lane = jnp.arange(P, dtype=jnp.uint32)
+    gks, gidx = jax.lax.sort((gkey, lane), dimension=0,
+                             num_keys=1, is_stable=True)
+    tk_idx = gidx[:big_cap].astype(jnp.int32)
+    tk_ok = gks[:big_cap] != inf
+    taken = jnp.zeros((P,), bool).at[tk_idx].set(tk_ok).reshape(B, S)
+    chain_valid = valid_b & ~taken
+
+    def gath(a):
+        return a.reshape(P)[tk_idx]
+
+    bigs = _build_big_set(
+        tuple(gath(o) for o in ops_b), tk_ok, gks[:big_cap],
+        residual=(jnp.sum(is_big) - jnp.sum(tk_ok)).astype(jnp.int32),
+        gx=gx, gy=gy, ts=ts)
+
+    key2 = jnp.where(chain_valid, depth_b, inf)
 
     # --- stage 2: exact intra-block depth sort ------------------------------
-    s2 = jax.lax.sort((key2,) + tuple(blk(o) for o in s1[1:]),
+    s2 = jax.lax.sort((key2,) + ops_b,
                       dimension=1, num_keys=1, is_stable=True)
     key2s, ix, iy, ca, cb, cc, r, g, b, op, rad, idx_s = s2
     valid = key2s != jnp.uint32(0xFFFFFFFF)
@@ -184,13 +283,18 @@ def build_block_frame2(prj: ProjectedSplats, cfg: RasterizerConfig,
     rad_p = jnp.where(valid, rad, 0.0)
     depth_p = jnp.where(valid, depth, DEPTH_INVALID)
     idx_f = jax.lax.bitcast_convert_type(idx_s, jnp.float32)
-    zeros = jnp.zeros_like(f0)
+
+    # rows 14/15: the feature center, broadcast per lane (the render kernel
+    # re-centers features to the tile origin from these, uniformly for chain
+    # blocks and per-lane-centered big lanes)
+    bcx_l = jnp.broadcast_to(bcx[:, None], (B, S))
+    bcy_l = jnp.broadcast_to(bcy[:, None], (B, S))
 
     payload = jnp.stack([
         f0, f1, f2, f3, f4, f5,
         jnp.where(valid, r, 0.0), jnp.where(valid, g, 0.0),
         jnp.where(valid, b, 0.0),
-        ix_p, iy_p, rad_p, depth_p, idx_f, zeros, zeros,
+        ix_p, iy_p, rad_p, depth_p, idx_f, bcx_l, bcy_l,
     ], axis=1)                                                 # (B, 16, S)
 
     # --- block tile rect / coverage bitmap / depth range --------------------
@@ -245,4 +349,4 @@ def build_block_frame2(prj: ProjectedSplats, cfg: RasterizerConfig,
         bc=bc,
         num_valid=nv,
         num_culled_pairs=jnp.sum(prj.num_tiles).astype(jnp.int32),
-    )
+    ), bigs

@@ -1,11 +1,12 @@
-"""The TPU fast path: projection → block build v2 → binning v2 → Pallas v2.
+"""The TPU fast path: projection → block build v2 → binning v2 → Pallas v3.
 
 This is the performance pipeline behind RasterizerConfig.quality="fast";
 "exact" (ops/pipeline.py) remains the semantics oracle. See ops/blocks2.py
-and ops/render_pallas2.py for the design and the ordering-semantics
-statement (intra-block exact depth order; adjacent-block interleaving exact
-via lag-1 depth masks; residual deviation only for interleavings that skip
-a list position and equal-depth16 ties).
+and ops/render_pallas3.py for the design and the ordering-semantics
+statement (exact depth interleaving within ±1 batch of 4 blocks; big-splat
+outlier blocks exactly interleaved regardless of depth extent; residual
+deviation only for chain blocks ≥2 batches apart with overlapping depth
+ranges and equal-depth16 ties).
 """
 
 from __future__ import annotations
@@ -18,11 +19,12 @@ import jax.numpy as jnp
 
 from ..config import RasterizerConfig
 from ..models.splats import SplatCloud
+from .bigbin import TileBigs, bin_bigs
 from .blocks2 import BLOCK_SIZE, DEPTH_INVALID, BlockFrame2, build_block_frame2
 from .binning2 import TileBins2, bin_blocks2
 from .pipeline import FrameStats, FrameUniforms
 from .projection import project_splats
-from .render_pallas2 import assemble_image_v2, render_tiles_v2
+from .render_pallas3 import assemble_image_v3, render_tiles_v3
 
 
 class FastFrameOutput(NamedTuple):
@@ -33,6 +35,8 @@ class FastFrameOutput(NamedTuple):
     tile_nblocks: jnp.ndarray   # (T,) i32
     tile_t0: jnp.ndarray        # (T,) f32 — pixel (0,0) transmittance per tile
     payload: jnp.ndarray        # (B, 16, S) f32 block payload (depth+idx rows)
+    tile_bigpay: jnp.ndarray    # (T, 16, OBIG) f32 per-tile big-lane payload
+    tile_nbig: jnp.ndarray      # (T,) i32
 
 
 def render_frame_fast(
@@ -42,8 +46,8 @@ def render_frame_fast(
     supertile_cap: int = 1024,
     tile_cap: int = 256,
     early_exit: bool = True,
-    chain: str = "mm_bf16",
-    xmask: bool = True,
+    lowp: bool = True,
+    obig: int = 128,
     interpret: bool = False,
 ) -> FastFrameOutput:
     prj = project_splats(
@@ -55,36 +59,40 @@ def render_frame_fast(
     # scheduling problem and compile time explodes at multi-million-splat
     # shapes (>15 min vs ~3 min split; no measurable runtime cost).
     prj = type(prj)(*jax.lax.optimization_barrier(tuple(prj)))
-    bf: BlockFrame2 = build_block_frame2(prj, cfg,
-                                         num_splats=cloud.num_splats)
+    bf, bigs = build_block_frame2(prj, cfg, num_splats=cloud.num_splats)
     bf = type(bf)(*jax.lax.optimization_barrier(tuple(bf)))
+    bigs = type(bigs)(*jax.lax.optimization_barrier(tuple(bigs)))
     bins: TileBins2 = bin_blocks2(bf, cfg, supertile_cap=supertile_cap,
                                   tile_cap=tile_cap)
+    tile_bigs: TileBigs = bin_bigs(bigs, cfg, obig=obig)
     bins = type(bins)(*jax.lax.optimization_barrier(tuple(bins)))
-    tiles = render_tiles_v2(
-        bf.payload, bins, uniforms.heatmap_factor, cfg,
-        early_exit=early_exit, chain=chain, xmask=xmask, interpret=interpret)
-    image, t_final = assemble_image_v2(tiles, cfg)
+    tile_bigs = type(tile_bigs)(*jax.lax.optimization_barrier(
+        tuple(tile_bigs)))
+    tiles = render_tiles_v3(
+        bf.payload, bins, tile_bigs, uniforms.heatmap_factor, cfg,
+        early_exit=early_exit, lowp=lowp, interpret=interpret)
+    image, t_final = assemble_image_v3(tiles, cfg)
     stats = FrameStats(
         num_pairs=bf.num_culled_pairs,
-        num_overflow=bins.overflow,
+        num_overflow=bins.overflow + tile_bigs.overflow,
         max_tile_count=jnp.max(bins.tile_candidates),
     )
     return FastFrameOutput(
         image=image, stats=stats,
         tile_blocks=bins.tile_blocks, tile_nblocks=bins.tile_nblocks,
         tile_t0=t_final[:, 0], payload=bf.payload,
+        tile_bigpay=tile_bigs.bigpay, tile_nbig=tile_bigs.tile_nbig,
     )
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "cfg", "supertile_cap", "tile_cap", "early_exit", "chain", "xmask",
+    "cfg", "supertile_cap", "tile_cap", "early_exit", "lowp", "obig",
     "interpret"))
 def render_frame_fast_jit(cloud, uniforms, cfg, supertile_cap=1024,
-                          tile_cap=256, early_exit=True, chain="mm_bf16",
-                          xmask=True, interpret=False):
+                          tile_cap=256, early_exit=True, lowp=True,
+                          obig=128, interpret=False):
     return render_frame_fast(cloud, uniforms, cfg, supertile_cap, tile_cap,
-                             early_exit, chain, xmask, interpret)
+                             early_exit, lowp, obig, interpret)
 
 
 # --- staged variant -----------------------------------------------------
@@ -107,77 +115,90 @@ def _stage_blocks(prj, cfg, num_splats=None):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "supertile_cap",
-                                             "tile_cap"))
-def _stage_bin(bf, cfg, supertile_cap, tile_cap):
-    return bin_blocks2(bf, cfg, supertile_cap=supertile_cap,
-                       tile_cap=tile_cap)
+                                             "tile_cap", "obig"))
+def _stage_bin(bf, bigs, cfg, supertile_cap, tile_cap, obig):
+    return (bin_blocks2(bf, cfg, supertile_cap=supertile_cap,
+                        tile_cap=tile_cap),
+            bin_bigs(bigs, cfg, obig=obig))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "early_exit", "chain",
-                                             "xmask"))
-def _stage_render(bf, bins, heatmap_factor, cfg, early_exit, chain, xmask):
-    tiles = render_tiles_v2(bf.payload, bins, heatmap_factor, cfg,
-                            early_exit=early_exit, chain=chain, xmask=xmask)
-    image, t_final = assemble_image_v2(tiles, cfg)
+@functools.partial(jax.jit, static_argnames=("cfg", "early_exit", "lowp"))
+def _stage_render(bf, bins, tile_bigs, heatmap_factor, cfg, early_exit,
+                  lowp):
+    tiles = render_tiles_v3(bf.payload, bins, tile_bigs, heatmap_factor,
+                            cfg, early_exit=early_exit, lowp=lowp)
+    image, t_final = assemble_image_v3(tiles, cfg)
     stats = FrameStats(
         num_pairs=bf.num_culled_pairs,
-        num_overflow=bins.overflow,
+        num_overflow=bins.overflow + tile_bigs.overflow,
         max_tile_count=jnp.max(bins.tile_candidates))
     return image, t_final, stats
 
 
 def render_frame_fast_staged(cloud, uniforms, cfg, supertile_cap=1024,
-                             tile_cap=256, early_exit=True, chain="mm_bf16",
-                             xmask=True,
-                             stage_timer=None) -> FastFrameOutput:
+                             tile_cap=256, early_exit=True, lowp=True,
+                             obig=128, stage_timer=None) -> FastFrameOutput:
     """Staged frame; with stage_timer (utils/telemetry.stage_timer-style
     context factory) each stage is individually timed."""
     if stage_timer is None:
         prj = _stage_project(cloud, uniforms, cfg)
-        bf = _stage_blocks(prj, cfg, cloud.num_splats)
-        bins = _stage_bin(bf, cfg, supertile_cap, tile_cap)
+        bf, bigs = _stage_blocks(prj, cfg, cloud.num_splats)
+        bins, tile_bigs = _stage_bin(bf, bigs, cfg, supertile_cap, tile_cap,
+                                     obig)
         image, t_final, stats = _stage_render(
-            bf, bins, uniforms.heatmap_factor, cfg, early_exit, chain, xmask)
+            bf, bins, tile_bigs, uniforms.heatmap_factor, cfg, early_exit,
+            lowp)
     else:
         with stage_timer("Projection", lambda: prj.depth16):
             prj = _stage_project(cloud, uniforms, cfg)
         with stage_timer("Blocks", lambda: bf.min_depth):
-            bf = _stage_blocks(prj, cfg, cloud.num_splats)
+            bf, bigs = _stage_blocks(prj, cfg, cloud.num_splats)
         with stage_timer("Binning", lambda: bins.tile_nblocks):
-            bins = _stage_bin(bf, cfg, supertile_cap, tile_cap)
+            bins, tile_bigs = _stage_bin(bf, bigs, cfg, supertile_cap,
+                                         tile_cap, obig)
         with stage_timer("Render", lambda: image):
             image, t_final, stats = _stage_render(
-                bf, bins, uniforms.heatmap_factor, cfg, early_exit, chain,
-                xmask)
+                bf, bins, tile_bigs, uniforms.heatmap_factor, cfg,
+                early_exit, lowp)
     return FastFrameOutput(
         image=image, stats=stats,
         tile_blocks=bins.tile_blocks, tile_nblocks=bins.tile_nblocks,
-        tile_t0=t_final[:, 0], payload=bf.payload)
+        tile_t0=t_final[:, 0], payload=bf.payload,
+        tile_bigpay=tile_bigs.bigpay, tile_nbig=tile_bigs.tile_nbig)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _pick_fast(frame: FastFrameOutput, tile_id, means, model_scale, cfg):
     """The reference picks the splat 10% into the tile's globally
-    depth-sorted covered range (gsplat_render.glsl:103-110). The v2 payload
-    carries depth + source index rows, so this is reproduced exactly: gather
-    the tile's covering blocks, mask to members whose radius-rect covers the
-    tile, take the (n/10)-th smallest depth, return its world position."""
+    depth-sorted covered range (gsplat_render.glsl:103-110). The payload
+    carries depth + source index rows (chain blocks and the per-tile big
+    lanes), so this is reproduced exactly: gather the tile's covering
+    lanes, mask to members whose radius-rect covers the tile, take the
+    (n/10)-th smallest depth, return its world position."""
     S = BLOCK_SIZE
     gx, _ = cfg.tile_dims
     ts = float(cfg.tile_size)
-    ids = frame.tile_blocks[tile_id]                        # (C2,)
-    entry_ok = ids >= 0
-    pays = frame.payload[jnp.maximum(ids, 0)]               # (C2, 16, S)
-    ix, iy, rad = pays[:, 9], pays[:, 10], pays[:, 11]
-    depth = pays[:, 12]
-    idx = jax.lax.bitcast_convert_type(pays[:, 13], jnp.uint32)
+    entries = frame.tile_blocks[tile_id]                    # (C2,)
+    entry_ok = entries >= 0
+    ids = jnp.where(entry_ok, entries & 0x7FFFFF, 0)
+    pays = frame.payload[ids]                               # (C2, 16, S)
+    bigp = frame.tile_bigpay[tile_id]                       # (16, OBIG)
+    ix = jnp.concatenate([pays[:, 9].reshape(-1), bigp[9]])
+    iy = jnp.concatenate([pays[:, 10].reshape(-1), bigp[10]])
+    rad = jnp.concatenate([pays[:, 11].reshape(-1), bigp[11]])
+    depth = jnp.concatenate([pays[:, 12].reshape(-1), bigp[12]])
+    idx = jax.lax.bitcast_convert_type(
+        jnp.concatenate([pays[:, 13].reshape(-1), bigp[13]]), jnp.uint32)
+    lane_ok = jnp.concatenate([
+        jnp.broadcast_to(entry_ok[:, None], pays[:, 12].shape).reshape(-1),
+        jnp.ones((bigp.shape[1],), bool)])
     tx = (tile_id % gx).astype(jnp.float32) * ts
     ty = (tile_id // gx).astype(jnp.float32) * ts
     covered = ((ix - rad < tx + ts) & (ix + rad > tx)
                & (iy - rad < ty + ts) & (iy + rad > ty)
-               & (depth < DEPTH_INVALID) & entry_ok[:, None])
-    key = jnp.where(covered, depth, DEPTH_INVALID).reshape(-1)
-    skey, sidx = jax.lax.sort_key_val(key, idx.reshape(-1))
+               & (depth < DEPTH_INVALID) & lane_ok)
+    key = jnp.where(covered, depth, DEPTH_INVALID)
+    skey, sidx = jax.lax.sort_key_val(key, idx)
     n = jnp.sum(covered)
     k = jnp.clip(n // 10, 0, skey.shape[0] - 1)
     pos = means[sidx[k]] * model_scale

@@ -149,8 +149,7 @@ def render_frame_fast_sharded(
     supertile_cap: int = 1024,
     tile_cap: int = 256,
     exchange_cap: int | None = None,
-    chain: str = "mm_bf16",
-    xmask: bool = True,
+    lowp: bool = True,
     interpret: bool = False,
 ):
     """Multi-chip fast path over the ("view", "tile") mesh.
@@ -168,8 +167,9 @@ def render_frame_fast_sharded(
     lossless exchange whenever a shard's blocks fit).
     """
     from ..ops.blocks2 import BLOCK_SIZE, BlockFrame2, build_block_frame2
+    from ..ops.bigbin import bin_bigs
     from ..ops.binning2 import bin_blocks2
-    from ..ops.render_pallas2 import assemble_image_v2, render_tiles_v2
+    from ..ops.render_pallas3 import assemble_image_v3, render_tiles_v3
 
     n_tile = mesh.shape["tile"]
     rows_per = _slab_rows(cfg, n_tile)
@@ -187,8 +187,9 @@ def render_frame_fast_sharded(
 
         prj = project_splats(means, cov3d, opac, sh, uptime,
                              view, proj, cam_pos, model_scale, time, cfg)
-        bf = build_block_frame2(prj, cfg,         # local superblocks only
-                                num_splats=max(cloud.num_splats // n_tile, 1))
+        bf, bigs = build_block_frame2(
+            prj, cfg,                             # local superblocks only
+            num_splats=max(cloud.num_splats // n_tile, 1))
 
         # --- block exchange: local blocks -> owning slabs ------------------
         r = bf.rect                               # (B_loc, 4) global tiles
@@ -239,10 +240,19 @@ def render_frame_fast_sharded(
                                width=cfg.target_size[0], render_scale=1.0)
         bins = bin_blocks2(pool, slab_cfg, supertile_cap=supertile_cap,
                            tile_cap=tile_cap, tile_row_offset=y0)
-        tiles = render_tiles_v2(
-            pool.payload, bins, heatmap, slab_cfg, chain=chain, xmask=xmask,
+        # big lanes: every shard extracted its local bigs; gather the whole
+        # set (small — ~0.5% of splats) and bin this slab's tiles from it
+        def ag(x):
+            return jax.lax.all_gather(x, "tile", tiled=True)
+        bigs_all = type(bigs)(
+            table=ag(bigs.table), depth16=ag(bigs.depth16),
+            rect=ag(bigs.rect), valid=ag(bigs.valid),
+            residual=jax.lax.psum(bigs.residual, "tile"))
+        tile_bigs = bin_bigs(bigs_all, slab_cfg, tile_row_offset=y0)
+        tiles = render_tiles_v3(
+            pool.payload, bins, tile_bigs, heatmap, slab_cfg, lowp=lowp,
             interpret=interpret, pixel_offset_y=y0 * cfg.tile_size)
-        image, _ = assemble_image_v2(tiles, slab_cfg)
+        image, _ = assemble_image_v3(tiles, slab_cfg)
         total_pairs = jax.lax.psum(bf.num_culled_pairs, "tile")
         total_over = jax.lax.psum(over, "tile")
         return image[None], total_pairs[None], total_over[None]

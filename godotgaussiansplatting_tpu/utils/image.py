@@ -50,6 +50,38 @@ def write_png(path, image: np.ndarray, srgb: bool = True) -> None:
         f.write(png)
 
 
+def read_png(path) -> np.ndarray:
+    """Read a PNG written by write_png (8-bit RGB, filter 0) → (H, W, 3) u8.
+
+    Minimal decoder for the golden-image corpus; supports exactly the subset
+    this module emits (non-interlaced, color type 2, per-row filter byte 0).
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    pos, w = 8, None
+    idat = b""
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", payload)
+            assert (depth, ctype, interlace) == (8, 2, 0), (
+                "read_png supports only write_png's 8-bit RGB output")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    stride = 1 + 3 * w
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride)
+    assert np.all(rows[:, 0] == 0), "unexpected PNG row filter"
+    return rows[:, 1:].reshape(h, w, 3).copy()
+
+
 def encode_jpeg_fallback_png(image: np.ndarray, srgb: bool = True) -> bytes:
     """In-memory PNG bytes (for the HTTP viewer's frame stream)."""
     rgb8 = to_uint8(image, srgb=srgb)
