@@ -103,8 +103,13 @@ class BigSet(NamedTuple):
 
 
 def default_big_cap(P: int) -> int:
-    """Static capacity of the extracted big-splat lane set."""
-    return min(P, max(BLOCK_SIZE * 8, P // 64 // BLOCK_SIZE * BLOCK_SIZE))
+    """Static capacity of the extracted big-splat lane set.
+
+    Capped at 40K lanes: the bigset gather and ops/bigbin.py's compaction
+    scale with the CAPACITY (not the live count), and ~0.7% of the headline
+    scene is big."""
+    return min(P, max(BLOCK_SIZE * 8,
+                      min(P // 64, 40960) // BLOCK_SIZE * BLOCK_SIZE))
 
 
 def _build_big_set(ops, ok, depth16, residual, gx, gy, ts):
@@ -194,18 +199,56 @@ def build_block_frame2(prj: ProjectedSplats, cfg: RasterizerConfig,
 
     morton = spread8(ctx & 0xFF) | (spread8(cty & 0xFF) << 1)
 
+    inf = jnp.uint32(0xFFFFFFFF)
     radius_sb = prj.radius.reshape(SB, sb_size)
-    big = radius_sb >= BIG_RADIUS
-    key_small = ((morton & 0x7FFF) << 16) | depth_sb
-    key_big = (jnp.uint32(0x80000000) | (depth_sb << 8)
-               | ((morton >> 8) & 0xFF))
-    key = jnp.where(valid_sb, jnp.where(big, key_big, key_small),
-                    jnp.uint32(0xFFFFFFFF))
-
     conic = prj.conic.reshape(SB, sb_size, 3)
     color = prj.color.reshape(SB, sb_size, 4)
     idx = (jnp.arange(P, dtype=jnp.uint32).reshape(SB, sb_size))
 
+    # --- big-lane extraction BEFORE clustering (per-tile lists, bigbin) -----
+    # Compact big candidates per superblock with a cheap 2-operand row sort
+    # (the fast TPU primitive; a full (P, 2) GLOBAL sort measured ~11 ms at
+    # the 5.8M headline, and windowed take_along_axis gathers ~10 ms), then
+    # one small global sort picks the closest big_cap lanes. Extracted lanes
+    # are keyed invalid for stage 1, so chains never see them; bigs beyond a
+    # window or big_cap stay in their chains (counted in residual).
+    if big_cap is None:
+        big_cap = default_big_cap(P)
+    big_cap = max(big_cap, S)
+    is_big = (radius_sb >= BIG_RADIUS) & valid_sb
+    KB = min(sb_size, 4096)
+    bkey = jnp.where(is_big, depth_sb, inf)
+    bk_s, pos_s = jax.lax.sort((bkey, idx), dimension=1, num_keys=1,
+                               is_stable=True)
+    gks, gidx = jax.lax.sort(
+        (bk_s[:, :KB].reshape(-1), pos_s[:, :KB].reshape(-1)),
+        dimension=0, num_keys=1, is_stable=True)
+    cap = min(big_cap, SB * KB)
+    tk_idx = gidx[:cap].astype(jnp.int32)
+    tk_ok = gks[:cap] != inf
+    if cap < big_cap:   # pad to the static big_cap
+        tk_idx = jnp.concatenate(
+            [tk_idx, jnp.zeros((big_cap - cap,), jnp.int32)])
+        tk_ok = jnp.concatenate(
+            [tk_ok, jnp.zeros((big_cap - cap,), bool)])
+    taken = jnp.zeros((P,), bool).at[tk_idx].set(tk_ok).reshape(SB, sb_size)
+
+    def gath(a):
+        return a.reshape(P)[tk_idx]
+
+    dep_tk = jnp.where(tk_ok, gath(depth_sb), inf)
+    bigs = _build_big_set(
+        (gath(ipos_sb[..., 0]), gath(ipos_sb[..., 1]),
+         gath(conic[..., 0]), gath(conic[..., 1]), gath(conic[..., 2]),
+         gath(color[..., 0]), gath(color[..., 1]), gath(color[..., 2]),
+         gath(color[..., 3]), gath(radius_sb), gath(idx)),
+        tk_ok, dep_tk,
+        residual=(jnp.sum(is_big) - jnp.sum(tk_ok)).astype(jnp.int32),
+        gx=gx, gy=gy, ts=ts)
+
+    # --- stage 1: per-superblock (cell Morton, depth16) clustering ----------
+    key = jnp.where(valid_sb & ~taken,
+                    ((morton & 0x7FFF) << 16) | depth_sb, inf)
     operands = (key,
                 ipos_sb[..., 0], ipos_sb[..., 1],
                 conic[..., 0], conic[..., 1], conic[..., 2],
@@ -216,35 +259,11 @@ def build_block_frame2(prj: ProjectedSplats, cfg: RasterizerConfig,
     def blk(x):  # (SB, sb_size) -> (B, S)
         return x.reshape(B, S)
 
-    inf = jnp.uint32(0xFFFFFFFF)
     key_b = blk(s1[0])
-    valid_b = key_b != inf
-    is_big = ((key_b >> 31) == 1) & valid_b
-    depth_b = jnp.where(is_big, (key_b >> 8) & 0xFFFF, key_b & 0xFFFF)
+    depth_b = key_b & 0xFFFF
     ops_b = tuple(blk(o) for o in s1[1:])          # ix iy ca cb cc r g b o rad idx
 
-    # --- global big-lane extraction (per-tile exact lists, ops/bigbin.py) ---
-    if big_cap is None:
-        big_cap = default_big_cap(P)
-    big_cap = max(big_cap, S)
-    gkey = jnp.where(is_big, depth_b, inf).reshape(P)
-    lane = jnp.arange(P, dtype=jnp.uint32)
-    gks, gidx = jax.lax.sort((gkey, lane), dimension=0,
-                             num_keys=1, is_stable=True)
-    tk_idx = gidx[:big_cap].astype(jnp.int32)
-    tk_ok = gks[:big_cap] != inf
-    taken = jnp.zeros((P,), bool).at[tk_idx].set(tk_ok).reshape(B, S)
-    chain_valid = valid_b & ~taken
-
-    def gath(a):
-        return a.reshape(P)[tk_idx]
-
-    bigs = _build_big_set(
-        tuple(gath(o) for o in ops_b), tk_ok, gks[:big_cap],
-        residual=(jnp.sum(is_big) - jnp.sum(tk_ok)).astype(jnp.int32),
-        gx=gx, gy=gy, ts=ts)
-
-    key2 = jnp.where(chain_valid, depth_b, inf)
+    key2 = jnp.where(key_b != inf, depth_b, inf)
 
     # --- stage 2: exact intra-block depth sort ------------------------------
     s2 = jax.lax.sort((key2,) + ops_b,

@@ -82,10 +82,10 @@ def _render_kernel_v3(
     big_la,          # VMEM (NPX, OBIG) cdt
     big_rgb,         # VMEM (4, OBIG) bf16
     big_d,           # VMEM (1, OBIG) f32
-    big_tot,         # VMEM (NPX, 1) f32
-    acc_v,           # VMEM (NPX, 4) f32
-    tcar_v,          # VMEM (NPX, 1) f32 — chain log transmittance
-    texit_v,         # VMEM (NPX, 1) f32 — exit metric incl. big front mass
+    cols_v,          # VMEM (NPX, 8) f32 — one lane-padded buffer holding all
+                     # per-pixel column state: [acc r,g,b,-, tcar, texit,
+                     # big_tot, -] (separate (NPX,1) scratches each pad to
+                     # 128 lanes = 512 KB at tile 32)
     row_sems,        # DMA sems (2,)
     sems,            # DMA sems (2, U)
     big_sems,        # DMA sems (2,)
@@ -175,19 +175,27 @@ def _render_kernel_v3(
         d_row = jnp.where(live, pay[12:13, :], DEPTH_INVALID)   # (1, W)
         return F, rgbT, d_row
 
+    # pixf entries are small integers (<= tile_size^2 = 256): EXACTLY bf16-
+    # representable, so splitting only F into hi+lo bf16 halves gives
+    # ~2^-16-relative power accuracy in TWO MXU passes (vs HIGHEST's six;
+    # Mosaic does not lower Precision.HIGH).
+    pixf_b = pixf.astype(bf16)
+
     def mm_power(F_all):
+        Fh = F_all.astype(bf16)
+        Fl = (F_all - Fh.astype(f32)).astype(bf16)
         P = jax.lax.dot_general(
-            pixf, F_all, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
-            precision=jax.lax.Precision.HIGHEST)
+            pixf_b, Fh, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        P = P + jax.lax.dot_general(
+            pixf_b, Fl, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
         alpha = jnp.minimum(jnp.exp(P), ALPHA_MAX)
         la = jnp.log1p(-alpha)
         return alpha, la
 
     # --- init per-tile state ------------------------------------------------
-    acc_v[...] = jnp.zeros((NPX, 4), f32)
-    tcar_v[...] = jnp.zeros((NPX, 1), f32)
-    texit_v[...] = jnp.zeros((NPX, 1), f32)
+    cols_v[...] = jnp.zeros((NPX, 8), f32)
 
     # --- resident big lanes (exact per-tile depth order) --------------------
     lane_b = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
@@ -208,7 +216,7 @@ def _render_kernel_v3(
         big_rgb[...] = jnp.concatenate(
             [rgbT, jnp.zeros((1, obig), bf16)], axis=0)
         big_d[...] = d_row
-        big_tot[...] = jnp.sum(la, axis=1, keepdims=True)
+        cols_v[:, 6:7] = jnp.sum(la, axis=1, keepdims=True)
 
     # --- chain batch ring ---------------------------------------------------
     def start_batch(k):
@@ -247,7 +255,7 @@ def _render_kernel_v3(
         does not lower), and no alpha buffer."""
         laf = la_b.astype(f32)
         w = (jnp.exp(z) - jnp.exp(z + laf)).astype(bf16)
-        acc_v[...] += jax.lax.dot_general(
+        cols_v[:, 0:4] += jax.lax.dot_general(
             w, rgbT4, (((1,), (1,)), ((), ())),
             preferred_element_type=f32)
 
@@ -297,7 +305,7 @@ def _render_kernel_v3(
             pend_rgb[sc] = jnp.concatenate(
                 [rgbT, jnp.zeros((1, US), bf16)], axis=0)
             pend_d[sc] = d_cur
-            pend_z[sc] = cums + tcar_v[...]
+            pend_z[sc] = cums + cols_v[:, 4:5]
 
         # chain <-> big exchange. Exact in both directions: when a big lane
         # STRADDLES this batch's depth range, pay two masked matmuls; in the
@@ -308,6 +316,11 @@ def _render_kernel_v3(
         bmaxf = bmax.astype(f32)
         d_big = big_d[...]
         strad = has_big & jnp.any((d_big >= bminf) & (d_big <= bmaxf))
+        if "bigx" in ablate:
+            strad = strad & (nb < 0)
+            has_big_x = has_big & (nb < 0)
+        else:
+            has_big_x = has_big
         @pl.when(strad)
         def _():
             mask_bc = (d_big.reshape(obig, 1) < d_cur).astype(cdt)
@@ -318,7 +331,7 @@ def _render_kernel_v3(
             big_z[...] += jax.lax.dot_general(
                 lac, mask_cb, (((1,), (0,)), ((), ())),
                 preferred_element_type=f32)
-        @pl.when(has_big & ~strad)
+        @pl.when(has_big_x & ~strad)
         def _():
             bfm = jnp.sum(big_la[...].astype(f32) * (d_big < bminf),
                           axis=1, keepdims=True)                # (NPX, 1)
@@ -328,6 +341,8 @@ def _render_kernel_v3(
         # cross-batch lag-1 corrections (gated on depth-range overlap)
         p_live = k > 0
         ovl_p = p_live & (bmin <= meta[1]) & (bmax >= meta[0])
+        if "corr" in ablate:
+            ovl_p = p_live & (nb < 0)
         @pl.when(ovl_p)
         def _():
             d_p = pend_d[sp]
@@ -344,7 +359,8 @@ def _render_kernel_v3(
             @pl.when(p_live)
             def _():
                 emit(pend_la[sp], pend_z[sp], pend_rgb[sp])
-        tcar_v[...] += tot
+        tcar = cols_v[:, 4:5] + tot
+        cols_v[:, 4:5] = tcar
         # exit metric: chain mass + big mass certainly in front of every
         # future block (future min_depth >= current bmin)
         bexit = jnp.where(
@@ -352,7 +368,7 @@ def _render_kernel_v3(
             jnp.sum(big_la[...].astype(f32) * (d_big < bminf),
                     axis=1, keepdims=True),
             jnp.zeros((NPX, 1), f32))
-        texit_v[...] = tcar_v[...] + bexit
+        cols_v[:, 5:6] = tcar + bexit
         meta[0] = bmin
         meta[1] = bmax
         return k + 1
@@ -360,7 +376,7 @@ def _render_kernel_v3(
     def cond(k):
         go = (k * U < nb) & (k < max_batches)
         if early_exit:
-            go = go & (jnp.max(texit_v[...]) > LOG_MIN_ALPHA)
+            go = go & (jnp.max(cols_v[:, 5:6]) > LOG_MIN_ALPHA)
         return go
 
     k_end = jax.lax.while_loop(cond, body, jnp.int32(0))
@@ -375,8 +391,8 @@ def _render_kernel_v3(
     def _():
         emit(big_la[...], big_z[...], big_rgb[...])
 
-    t_exp = tcar_v[...] + jnp.where(has_big, big_tot[...],
-                                    jnp.zeros((NPX, 1), f32))
+    t_exp = cols_v[:, 4:5] + jnp.where(has_big, cols_v[:, 6:7],
+                                       jnp.zeros((NPX, 1), f32))
     t_final = jnp.exp(t_exp)                                    # (NPX, 1)
 
     # --- present: heatmap mix + channel assembly ----------------------------
@@ -387,9 +403,9 @@ def _render_kernel_v3(
                    jnp.where(ch == 1, 0.2 * mixf,
                              jnp.where(ch == 2, 1.0 - 0.8 * mixf, 0.0))) * cov
 
-    acc = acc_v[...]
+    acc = cols_v[:, 0:3]
     rgb_full = jnp.concatenate(
-        [acc[:, :3], jnp.zeros((NPX, OUT_CH - 3), f32)], axis=1)
+        [acc, jnp.zeros((NPX, OUT_CH - 3), f32)], axis=1)
     out = rgb_full + hm
     out = jnp.where(ch == 3, 1.0, out)
     out = jnp.where(ch == 4, t_final, out)
@@ -452,7 +468,9 @@ def render_tiles_v3(
 
     C2 = bins.tile_blocks.shape[1]
     obig = tile_bigs.bigpay.shape[2]
-    Un = max(1, BATCH_LANES // BLOCK_SIZE // max(1, NPX // 512))
+    import os as _os2
+    Un = int(_os2.environ.get("GS_BATCH_U",
+                              max(1, BATCH_LANES // BLOCK_SIZE)))
     max_batches = -(-C2 // Un)
     cdt = jnp.bfloat16 if lowp else jnp.float32
     import os as _os
@@ -491,10 +509,7 @@ def render_tiles_v3(
             pltpu.VMEM((NPX, obig), cdt),              # big_la
             pltpu.VMEM((4, obig), jnp.bfloat16),       # big_rgb
             pltpu.VMEM((1, obig), jnp.float32),        # big_d
-            pltpu.VMEM((NPX, 1), jnp.float32),         # big_tot
-            pltpu.VMEM((NPX, 4), jnp.float32),         # acc
-            pltpu.VMEM((NPX, 1), jnp.float32),         # tcar
-            pltpu.VMEM((NPX, 1), jnp.float32),         # texit
+            pltpu.VMEM((NPX, 8), jnp.float32),         # cols
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2, Un)),
             pltpu.SemaphoreType.DMA((2,)),
