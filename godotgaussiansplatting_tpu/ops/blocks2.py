@@ -1,25 +1,31 @@
-"""Block frame v2: depth-sorted splat blocks carrying MXU power features.
+"""Block frame: depth-sorted splat blocks carrying MXU power features.
 
-Second-generation block preparation for the TPU fast path (supersedes
-ops/blocks.py; same clustering idea, restructured for the v2 render kernel):
+Per-frame block preparation for the TPU fast path:
 
+  * big splats (radius >= BIG_RADIUS) are extracted FIRST into a BigSet
+    lane table (cheap per-superblock row sorts + one small global
+    compaction) — they are binned per tile individually (ops/bigbin.py)
+    because any block grouping gives them either whole-scene depth ranges
+    or whole-screen rects;
   * stage 1 — per Morton superblock, ONE variadic row sort by
-    (screen-cell Morton, depth16) groups splats into screen-local,
-    depth-slabbed runs (12 operands, trimmed from round-1's 15: world
-    positions are replaced by a carried source index, depth/validity are
-    recovered from the key);
-  * stage 2 — blocks of BLOCK_SIZE are re-sorted *internally* by depth16
-    alone (a (B, S)-row sort), making every block's depth row monotone.
-    Cross-cell lane mixing inside a block no longer breaks depth order —
-    the round-1 pipeline's intra-block inversions are gone by construction;
+    (screen-cell Morton, depth16) groups the remaining splats into
+    screen-local, depth-slabbed runs (12 operands; world positions are
+    replaced by a carried source index, depth/validity are recovered from
+    the key);
+  * blocks of BLOCK_SIZE are cut directly from the stage-1 order; lanes
+    inside a block need NOT be depth-monotone — the render kernel's
+    depth-indicator matrix orders all batch lanes by actual depth (with a
+    list-order tie-break inside a block), which removed the round-2
+    intra-block re-sort stage (a second 12-operand row sort);
   * the per-splat Gaussian power is factorized for the MXU:
         power(px, py) = f0 + px'·f1 + py'·f2 + px'²·f3 + py'²·f4 + px'py'·f5
-    with (px', py') pixel coordinates relative to a per-block integer
-    center (bc) that bounds f32 cancellation. The render kernel evaluates
-    all 256×S powers as ONE (NPX, 8) @ (8, S) matmul instead of ~10 VPU
-    elementwise ops (gsplat_render.glsl:84's per-thread evaluation).
+    with (px', py') pixel coordinates relative to a stored per-lane center
+    (payload rows 14/15) that bounds f32 cancellation; the render kernel
+    re-centers the features to the tile origin and evaluates all NPX×S
+    powers as ONE matmul (gsplat_render.glsl:84's per-thread evaluation).
 
-Payload layout (PAYLOAD_WIDTH=16 f32 rows per block):
+Payload layout (PAYLOAD_WIDTH=16 f32 rows per block, shared by chain
+blocks and BigSet lane tables):
     0..5   f0..f5   power features; f0 includes ln(opacity) (clamped to
                     <= -1e-3 so alpha < 1 strictly and log1p(-alpha) in the
                     kernel stays finite); invalid lanes: f0=-1e4, f1..f5=0
@@ -28,7 +34,8 @@ Payload layout (PAYLOAD_WIDTH=16 f32 rows per block):
                     rect-coverage gate (invalid: parked at -1e6 / 0)
     12     depth16  as f32; invalid lanes = +BIG (sort to block tail)
     13     idx      source splat index, bitcast u32->f32 (picking)
-    14..15 pad
+    14..15 bcx, bcy feature center (per-block mean for chains; per-lane
+                    round(image_pos) for big lanes)
 
 Reference parity notes: the per-splat math feeding the features reproduces
 gsplat_projection.glsl exactly (see ops/projection.py); this module only
@@ -52,6 +59,25 @@ PAYLOAD_WIDTH = 16        # f32 lanes per splat payload row
 DEPTH_INVALID = 3.0e38    # depth row sentinel for culled/padded lanes
 GATE_OFF = -1.0e4         # exp(GATE_OFF) == 0 in f32
 _CULL_FAR = -1.0e6
+
+
+def _pack_f16(a, b):
+    """Two f32 rows -> one u32 row of f16 bit-pairs (sort operand traffic).
+
+    Safe for conic (<= ~3.3 after the reference's +0.3 dilation), radius
+    (<= ~4K px), SH color and opacity: all well inside f16 range, and the
+    5e-4 relative rounding is far below the fast path's PSNR gates."""
+    ah = jax.lax.bitcast_convert_type(a.astype(jnp.float16), jnp.uint16)
+    bh = jax.lax.bitcast_convert_type(b.astype(jnp.float16), jnp.uint16)
+    return ah.astype(jnp.uint32) | (bh.astype(jnp.uint32) << 16)
+
+
+def _unpack_f16(w):
+    a = jax.lax.bitcast_convert_type((w & 0xFFFF).astype(jnp.uint16),
+                                     jnp.float16)
+    b = jax.lax.bitcast_convert_type((w >> 16).astype(jnp.uint16),
+                                     jnp.float16)
+    return a.astype(jnp.float32), b.astype(jnp.float32)
 
 
 def adaptive_cell_shift(P: int, gx: int, gy: int,
@@ -247,13 +273,18 @@ def build_block_frame2(prj: ProjectedSplats, cfg: RasterizerConfig,
         gx=gx, gy=gy, ts=ts)
 
     # --- stage 1: per-superblock (cell Morton, depth16) clustering ----------
+    # 8 operands (key + ix/iy f32 + 4 packed f16 pairs + idx): the row sort
+    # scales with operand traffic (~3 Gkeys/s/operand), so conic, color,
+    # opacity and radius ride as f16 bit-pairs
     key = jnp.where(valid_sb & ~taken,
                     ((morton & 0x7FFF) << 16) | depth_sb, inf)
     operands = (key,
                 ipos_sb[..., 0], ipos_sb[..., 1],
-                conic[..., 0], conic[..., 1], conic[..., 2],
-                color[..., 0], color[..., 1], color[..., 2], color[..., 3],
-                radius_sb, idx)
+                _pack_f16(conic[..., 0], conic[..., 1]),
+                _pack_f16(conic[..., 2], radius_sb),
+                _pack_f16(color[..., 0], color[..., 1]),
+                _pack_f16(color[..., 2], color[..., 3]),
+                idx)
     s1 = jax.lax.sort(operands, dimension=1, num_keys=1, is_stable=True)
 
     def blk(x):  # (SB, sb_size) -> (B, S)
@@ -261,16 +292,14 @@ def build_block_frame2(prj: ProjectedSplats, cfg: RasterizerConfig,
 
     key_b = blk(s1[0])
     depth_b = key_b & 0xFFFF
-    ops_b = tuple(blk(o) for o in s1[1:])          # ix iy ca cb cc r g b o rad idx
-
-    key2 = jnp.where(key_b != inf, depth_b, inf)
-
-    # --- stage 2: exact intra-block depth sort ------------------------------
-    s2 = jax.lax.sort((key2,) + ops_b,
-                      dimension=1, num_keys=1, is_stable=True)
-    key2s, ix, iy, ca, cb, cc, r, g, b, op, rad, idx_s = s2
-    valid = key2s != jnp.uint32(0xFFFFFFFF)
-    depth = (key2s & 0xFFFF).astype(jnp.float32)
+    ix, iy = blk(s1[1]), blk(s1[2])
+    ca, cb = _unpack_f16(blk(s1[3]))
+    cc, rad = _unpack_f16(blk(s1[4]))
+    r, g = _unpack_f16(blk(s1[5]))
+    b, op = _unpack_f16(blk(s1[6]))
+    idx_s = blk(s1[7])
+    valid = key_b != inf
+    depth = depth_b.astype(jnp.float32)
 
     # --- per-block center + MXU power features ------------------------------
     nv = jnp.sum(valid, axis=1).astype(jnp.int32)
@@ -352,7 +381,7 @@ def build_block_frame2(prj: ProjectedSplats, cfg: RasterizerConfig,
     bits = jnp.where(valid, bits, 0)
     bitmap = jax.lax.reduce(bits, jnp.uint32(0), jax.lax.bitwise_or, (1,))
 
-    dep_u = jnp.where(valid, key2s & 0xFFFF, jnp.uint32(0xFFFF))
+    dep_u = jnp.where(valid, depth_b, jnp.uint32(0xFFFF))
     min_depth = jnp.min(jnp.where(valid, dep_u, jnp.uint32(0xFFFF)), axis=1)
     max_depth = jnp.max(jnp.where(valid, dep_u, jnp.uint32(0)), axis=1)
     min_depth = jnp.where(empty, jnp.uint32(0xFFFF), min_depth)

@@ -246,7 +246,6 @@ def _render_kernel_v3(
     li = jax.lax.broadcasted_iota(jnp.int32, (US, US), 0)
     lj = jax.lax.broadcasted_iota(jnp.int32, (US, US), 1)
     SAME_LOWER = (((li // S) == (lj // S)) & (li < lj)).astype(cdt)
-    CROSS = ((li // S) != (lj // S)).astype(cdt)
 
     def emit(la_b, z, rgbT4):
         """acc += (alpha * exp(z)) @ rgb, with alpha = 1 - exp(la).
@@ -265,37 +264,39 @@ def _render_kernel_v3(
         g = jax.lax.rem(k, 2)
         sc, sp = g, 1 - g
 
-        Fs, rgbs, ds = [], [], []
         bmin = jnp.int32(0x10000)
         bmax = jnp.int32(-1)
         for u in range(U):
             pos = k * U + u
             live = pos < nb
-            F, rgbT, d_row = eval_payload(pay_vmem[g * U + u], live)
-            Fs.append(F)
-            rgbs.append(rgbT)
-            ds.append(d_row)
             mn, mx = block_mm(pos)
             bmin = jnp.where(live, jnp.minimum(bmin, mn), bmin)
             bmax = jnp.where(live, jnp.maximum(bmax, mx), bmax)
 
-        F_all = jnp.concatenate(Fs, axis=1)                     # (8, US)
-        rgbT = jnp.concatenate(rgbs, axis=1)                    # (3, US)
-        d_cur = jnp.concatenate(ds, axis=1)                     # (1, US)
+        # one concatenated (PW, US) payload: the feature shift then runs as
+        # (1, US)-wide row ops instead of 4x (1, S) — Mosaic's per-op
+        # overhead on tiny vectors dominated the eval cost otherwise
+        pay_all = jnp.concatenate(
+            [pay_vmem[g * U + u] for u in range(U)], axis=1)    # (PW, US)
+        lane_blk = jax.lax.broadcasted_iota(jnp.int32, (1, US), 1) // S
+        live_v = (k * U + lane_blk) < nb                        # (1, US)
+        F_all, rgbT, d_cur = eval_payload(pay_all, live_v)
         if "eval" in ablate:
-            alpha = jnp.full((NPX, US), 0.01, f32)
             la = jnp.full((NPX, US), -0.01, f32)
         else:
-            alpha, la = mm_power(F_all)                         # (NPX, US)
+            _, la = mm_power(F_all)                             # (NPX, US)
         lac = la.astype(cdt)
         tot = jnp.sum(la, axis=1, keepdims=True)                # (NPX, 1)
 
-        # intra-batch exact order matrix (arithmetic select)
+        # intra-batch exact order matrix: lane i strictly in front of lane
+        # j by depth, list-order tie-break within a block (blocks2 does not
+        # depth-sort block interiors — this matrix IS the sort)
         d_col = d_cur.reshape(US, 1)
         if "cums" in ablate:
             cums = jnp.zeros((NPX, US), f32)
         else:
-            M = SAME_LOWER + CROSS * (d_col < d_cur).astype(cdt)
+            M = ((d_col < d_cur).astype(cdt)
+                 + SAME_LOWER * (d_col == d_cur).astype(cdt))
             cums = jax.lax.dot_general(
                 lac, M, (((1,), (0,)), ((), ())),
                 preferred_element_type=f32)                     # (NPX, US)
