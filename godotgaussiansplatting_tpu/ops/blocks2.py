@@ -242,7 +242,10 @@ def build_block_frame2(prj: ProjectedSplats, cfg: RasterizerConfig,
         big_cap = default_big_cap(P)
     big_cap = max(big_cap, S)
     is_big = (radius_sb >= BIG_RADIUS) & valid_sb
-    KB = min(sb_size, 4096)
+    # candidate window per superblock: wide enough that big_cap lanes fit
+    # even when Morton order concentrates bigs in few superblocks (small
+    # scenes degenerate to full rows, which is cheap there anyway)
+    KB = min(sb_size, max(4096, 4 * big_cap // max(SB, 1)))
     bkey = jnp.where(is_big, depth_sb, inf)
     bk_s, pos_s = jax.lax.sort((bkey, idx), dimension=1, num_keys=1,
                                is_stable=True)
