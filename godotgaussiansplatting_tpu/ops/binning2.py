@@ -11,8 +11,9 @@ for the v2 kernel:
     masks repair the remainder);
   * the level-1 sort key packs (min_depth<<16 | max_depth), so the depth
     range rides the sort for free and reaches the per-tile rows;
-  * rect (4x8 bits), nv (8 bits into the block id word) and the block
-    center are packed, cutting sort operand traffic ~2x.
+  * rect (4x8 bits) and nv (8 bits into the block id word) are packed,
+    cutting sort operand traffic ~2x (feature centers ride the payload,
+    rows 14/15, so no center operand at all).
 """
 
 from __future__ import annotations
@@ -33,7 +34,6 @@ class TileBins2(NamedTuple):
                                  # front-to-back by block min depth
     tile_nblocks: jnp.ndarray    # (T,) i32
     tile_minmax: jnp.ndarray     # (T, C2) i32 packed min16<<16|max16
-    tile_bc: jnp.ndarray         # (T, C2) i32 packed block center
     tile_candidates: jnp.ndarray  # (T,) i32 candidate splat count (heatmap~)
     overflow: jnp.ndarray        # () i32 tile-block pairs dropped by caps
 
@@ -79,11 +79,10 @@ def bin_blocks2(
         (key1,
          jnp.broadcast_to(bid_nv[None], (NS, B)),
          jnp.broadcast_to(rect_p[None], (NS, B)),
-         jnp.broadcast_to(bf.bitmap[None], (NS, B)),
-         jnp.broadcast_to(bf.bc[None], (NS, B))),
+         jnp.broadcast_to(bf.bitmap[None], (NS, B))),
         dimension=1, num_keys=1, is_stable=True)
     k1s = ops[0][:, :C1]
-    cand_bidnv, cand_rect, cbm, cand_bc = (o[:, :C1] for o in ops[1:])
+    cand_bidnv, cand_rect, cbm = (o[:, :C1] for o in ops[1:])
     cand_valid = k1s != inf                         # (NS, C1)
     n_cover_total = jnp.sum(covers)
     n_kept_l1 = jnp.sum(cand_valid)
@@ -119,14 +118,12 @@ def bin_blocks2(
     ops2 = jax.lax.sort(
         (key2,
          jnp.broadcast_to(cand_bidnv[:, None], covers_t.shape),
-         jnp.broadcast_to(k1s[:, None], covers_t.shape),
-         jnp.broadcast_to(cand_bc[:, None], covers_t.shape)),
+         jnp.broadcast_to(k1s[:, None], covers_t.shape)),
         dimension=2, num_keys=1, is_stable=True)
     hit = ops2[0][:, :, :C2] != C1
     tb = jnp.where(hit, (ops2[1][:, :, :C2] & 0xFFFFFF).astype(jnp.int32), -1)
     tmm = jnp.where(hit, ops2[2][:, :, :C2],
                     jnp.uint32(0xFFFFFFFF)).astype(jnp.int32)
-    tbc = jnp.where(hit, ops2[3][:, :, :C2], 0).astype(jnp.int32)
     nb = jnp.sum(covers_t, axis=2).astype(jnp.int32)          # (NS, 64)
     ncand = jnp.sum(
         jnp.where(covers_t, (cand_bidnv[:, None] >> 24).astype(jnp.int32), 0),
@@ -151,7 +148,6 @@ def bin_blocks2(
         tile_blocks=to_tiles3(tb),
         tile_nblocks=to_tiles(nb),
         tile_minmax=to_tiles3(tmm),
-        tile_bc=to_tiles3(tbc),
         tile_candidates=to_tiles(ncand),
         overflow=(n_cover_total - n_kept_l1).astype(jnp.int32)
         + (jnp.sum(covers_t) - n_kept_l2).astype(jnp.int32),

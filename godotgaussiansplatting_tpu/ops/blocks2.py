@@ -99,7 +99,6 @@ class BlockFrame2(NamedTuple):
     bitmap: jnp.ndarray       # (B,) u32 8x4 coverage bitmap over the rect
     min_depth: jnp.ndarray    # (B,) u32 min depth16 over valid members
     max_depth: jnp.ndarray    # (B,) u32 max depth16 over valid members
-    bc: jnp.ndarray           # (B,) u32 packed block center bcx | bcy<<14
     num_valid: jnp.ndarray    # (B,) i32 surviving splats per block
     num_culled_pairs: jnp.ndarray  # () i32 splat-tile pair count (stats parity
                                    # with the reference's sort_buffer_size)
@@ -389,7 +388,6 @@ def build_block_frame2(prj: ProjectedSplats, cfg: RasterizerConfig,
     max_depth = jnp.max(jnp.where(valid, dep_u, jnp.uint32(0)), axis=1)
     min_depth = jnp.where(empty, jnp.uint32(0xFFFF), min_depth)
     max_depth = jnp.where(empty, jnp.uint32(0xFFFF), max_depth)
-    bc = (bcx.astype(jnp.uint32) | (bcy.astype(jnp.uint32) << 14))
 
     return BlockFrame2(
         payload=payload,
@@ -397,7 +395,6 @@ def build_block_frame2(prj: ProjectedSplats, cfg: RasterizerConfig,
         bitmap=bitmap,
         min_depth=min_depth,
         max_depth=max_depth,
-        bc=bc,
         num_valid=nv,
         num_culled_pairs=jnp.sum(prj.num_tiles).astype(jnp.int32),
     ), bigs

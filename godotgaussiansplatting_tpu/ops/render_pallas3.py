@@ -71,7 +71,7 @@ def _render_kernel_v3(
     bigpay_hbm,      # (T, PW, OBIG) f32 ANY — per-tile big-lane payload
     out_ref,         # (1, NPX, OUT_CH) f32
     row_smem,        # SMEM (2, 8, 128) i32
-    meta,            # SMEM (4,) i32 — [prev_bmin, prev_bmax]
+    meta,            # SMEM (4,) i32 — [prev_bmin, prev_bmax, big_bucket_mask]
     pay_vmem,        # VMEM (2*U, PW, S) f32 — chain batch ring
     big_vmem,        # VMEM (2, PW, OBIG) f32 — big payload ring
     pend_z,          # VMEM (2, NPX, US) f32
@@ -217,6 +217,19 @@ def _render_kernel_v3(
             [rgbT, jnp.zeros((1, obig), bf16)], axis=0)
         big_d[...] = d_row
         cols_v[:, 6:7] = jnp.sum(la, axis=1, keepdims=True)
+        # 16-bucket depth-occupancy bitmask: the per-batch straddle gate
+        # tests it with pure scalar ops — a jnp.any() per batch syncs the
+        # scalar core with the VPU every iteration
+        bucket = jnp.where(d_row < 0.5 * DEPTH_INVALID,
+                           (d_row * (1.0 / 4096.0)).astype(jnp.int32),
+                           -1)                                  # (1, OBIG)
+        biot = jax.lax.broadcasted_iota(jnp.int32, (16, obig), 0)
+        hit_b = jnp.max(jnp.where(biot == bucket, 1, 0), axis=1,
+                        keepdims=True)                          # (16, 1)
+        pw2 = jnp.left_shift(
+            jnp.ones((16, 1), jnp.int32),
+            jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0))
+        meta[2] = jnp.sum(hit_b * pw2)
 
     # --- chain batch ring ---------------------------------------------------
     def start_batch(k):
@@ -316,7 +329,14 @@ def _render_kernel_v3(
         bminf = bmin.astype(f32)
         bmaxf = bmax.astype(f32)
         d_big = big_d[...]
-        strad = has_big & jnp.any((d_big >= bminf) & (d_big <= bmaxf))
+        # scalar straddle gate via the per-tile bucket mask (conservative:
+        # bucket granularity can fire the exact matmul path spuriously,
+        # never the reverse)
+        b0 = jnp.clip(bmin >> 12, 0, 15)
+        b1 = jnp.clip(bmax >> 12, 0, 15)
+        rmask = jnp.left_shift(
+            jnp.left_shift(jnp.int32(1), b1 - b0 + 1) - 1, b0)
+        strad = has_big & (bmax >= bmin) & ((meta[2] & rmask) != 0)
         if "bigx" in ablate:
             strad = strad & (nb < 0)
             has_big_x = has_big & (nb < 0)
@@ -418,11 +438,11 @@ def _render_kernel_v3(
 
 
 def pack_tile_rows_v3(tile_blocks, tile_nblocks, tile_nbig, tile_minmax,
-                      tile_bc, tile_candidates, heatmap_factor,
+                      tile_candidates, heatmap_factor,
                       pixel_offset_y=0):
     """Tile lists -> (T, 8, 128) i32 rows: row0 = [nb, cand, hm16.16, y_off,
-    nbig], rows 1-2 = block ids, rows 3-4 = minmax, rows 5-6 = bc (unused by
-    the v3 kernel; centers ride payload rows 14/15), row 7 spare."""
+    nbig], rows 1-2 = block ids, rows 3-4 = minmax, rows 5-7 spare
+    (feature centers ride payload rows 14/15)."""
     T, C2 = tile_blocks.shape
     assert C2 <= 256
     hm_bits = jnp.round(
@@ -444,8 +464,8 @@ def pack_tile_rows_v3(tile_blocks, tile_nblocks, tile_nbig, tile_minmax,
             axis=1)
 
     rows = jnp.concatenate(
-        [hdr, sect(tile_blocks), sect(tile_minmax), sect(tile_bc),
-         jnp.zeros((T, 128), jnp.int32)], axis=1)
+        [hdr, sect(tile_blocks), sect(tile_minmax),
+         jnp.zeros((T, 3 * 128), jnp.int32)], axis=1)
     return rows.reshape(T, 8, 128)
 
 
@@ -478,7 +498,7 @@ def render_tiles_v3(
     ablate = _os.environ.get("GS_KERNEL_ABLATE", "")
     rows = pack_tile_rows_v3(bins.tile_blocks, bins.tile_nblocks,
                              tile_bigs.tile_nbig, bins.tile_minmax,
-                             bins.tile_bc, bins.tile_candidates,
+                             bins.tile_candidates,
                              heatmap_factor, pixel_offset_y)
     US = Un * BLOCK_SIZE
     kern = functools.partial(

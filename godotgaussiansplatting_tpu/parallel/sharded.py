@@ -216,7 +216,6 @@ def render_frame_fast_sharded(
         bm_s = jnp.where(sel_ok, take(bf.bitmap), 0)
         mm_s = jnp.where(sel_ok, (take(bf.min_depth) << 16)
                          | (take(bf.max_depth) & 0xFFFF), bigk)
-        bc_s = jnp.where(sel_ok, take(bf.bc), 0)
         nv_s = jnp.where(sel_ok, take(bf.num_valid), 0)
 
         def a2a(x):
@@ -229,7 +228,6 @@ def render_frame_fast_sharded(
             bitmap=a2a(bm_s).reshape(-1),
             min_depth=(lambda m: m >> 16)(a2a(mm_s).reshape(-1)),
             max_depth=(lambda m: m & 0xFFFF)(a2a(mm_s).reshape(-1)),
-            bc=a2a(bc_s).reshape(-1),
             num_valid=a2a(nv_s).reshape(-1),
             num_culled_pairs=bf.num_culled_pairs,
         )
