@@ -9,7 +9,7 @@ promoted to one frozen dataclass (SURVEY.md §5 "Config / flag system").
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 # Compile-time constants of the reference pipeline
 # (gaussian_splatting_rasterizer.gd:4-8, gsplat_projection.glsl:23-27).
@@ -58,10 +58,19 @@ class RasterizerConfig:
 
     # --- performance knobs ---
     # "exact": per-tile compositing in exact sorted order (reference semantics).
-    # "fast":  depth-bucketed order-independent transmittance (no global sort).
+    # "fast":  block-hierarchical pipeline + Pallas v3 kernel (ops/blocks2.py,
+    #          ops/render_pallas3.py; >=48 dB PSNR vs exact on tests/golden).
     quality: str = "exact"
     # Use float32 for all rasterization math (required for the 1e-3 parity bar).
     dtype: str = "float32"
+    # Fast path: lane capacity of the big-splat (radius >= 32 px) extraction;
+    # None = auto (ops/blocks2.default_big_cap). Bigs beyond it stay in their
+    # chains (order-degraded, never dropped).
+    big_capacity: Optional[int] = None
+    # Fast path: resident big lanes per tile (per-tile exact depth lists,
+    # ops/bigbin.py). Tiles with more keep the CLOSEST lanes; the dropped
+    # far tail is counted in FrameStats.num_overflow.
+    big_tile_capacity: int = 128
 
     @property
     def target_size(self) -> Tuple[int, int]:

@@ -47,7 +47,7 @@ def render_frame_fast(
     tile_cap: int = 256,
     early_exit: bool = True,
     lowp: bool = True,
-    obig: int = 128,
+    obig: int | None = None,
     interpret: bool = False,
 ) -> FastFrameOutput:
     prj = project_splats(
@@ -59,12 +59,14 @@ def render_frame_fast(
     # scheduling problem and compile time explodes at multi-million-splat
     # shapes (>15 min vs ~3 min split; no measurable runtime cost).
     prj = type(prj)(*jax.lax.optimization_barrier(tuple(prj)))
-    bf, bigs = build_block_frame2(prj, cfg, num_splats=cloud.num_splats)
+    bf, bigs = build_block_frame2(prj, cfg, num_splats=cloud.num_splats,
+                                  big_cap=cfg.big_capacity)
     bf = type(bf)(*jax.lax.optimization_barrier(tuple(bf)))
     bigs = type(bigs)(*jax.lax.optimization_barrier(tuple(bigs)))
     bins: TileBins2 = bin_blocks2(bf, cfg, supertile_cap=supertile_cap,
                                   tile_cap=tile_cap)
-    tile_bigs: TileBigs = bin_bigs(bigs, cfg, obig=obig)
+    tile_bigs: TileBigs = bin_bigs(bigs, cfg,
+                                   obig=obig or cfg.big_tile_capacity)
     bins = type(bins)(*jax.lax.optimization_barrier(tuple(bins)))
     tile_bigs = type(tile_bigs)(*jax.lax.optimization_barrier(
         tuple(tile_bigs)))
@@ -90,7 +92,7 @@ def render_frame_fast(
     "interpret"))
 def render_frame_fast_jit(cloud, uniforms, cfg, supertile_cap=1024,
                           tile_cap=256, early_exit=True, lowp=True,
-                          obig=128, interpret=False):
+                          obig=None, interpret=False):
     return render_frame_fast(cloud, uniforms, cfg, supertile_cap, tile_cap,
                              early_exit, lowp, obig, interpret)
 
@@ -111,7 +113,8 @@ def _stage_project(cloud, uniforms, cfg):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "num_splats"))
 def _stage_blocks(prj, cfg, num_splats=None):
-    return build_block_frame2(prj, cfg, num_splats=num_splats)
+    return build_block_frame2(prj, cfg, num_splats=num_splats,
+                              big_cap=cfg.big_capacity)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "supertile_cap",
@@ -119,7 +122,7 @@ def _stage_blocks(prj, cfg, num_splats=None):
 def _stage_bin(bf, bigs, cfg, supertile_cap, tile_cap, obig):
     return (bin_blocks2(bf, cfg, supertile_cap=supertile_cap,
                         tile_cap=tile_cap),
-            bin_bigs(bigs, cfg, obig=obig))
+            bin_bigs(bigs, cfg, obig=obig or cfg.big_tile_capacity))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "early_exit", "lowp"))
@@ -137,7 +140,7 @@ def _stage_render(bf, bins, tile_bigs, heatmap_factor, cfg, early_exit,
 
 def render_frame_fast_staged(cloud, uniforms, cfg, supertile_cap=1024,
                              tile_cap=256, early_exit=True, lowp=True,
-                             obig=128, stage_timer=None) -> FastFrameOutput:
+                             obig=None, stage_timer=None) -> FastFrameOutput:
     """Staged frame; with stage_timer (utils/telemetry.stage_timer-style
     context factory) each stage is individually timed."""
     if stage_timer is None:
