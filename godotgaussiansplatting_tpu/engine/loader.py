@@ -102,7 +102,7 @@ class StreamingLoader:
         stride = -(-n // self._chunks)
         means, scales, quats, opac, sh = plyio.splat_arrays_from_ply(ply)
         if self._morton:
-            # Fast-path rendering wants Morton-local blocks (ops/blocks.py);
+            # Fast-path rendering wants Morton-local blocks (ops/blocks2.py);
             # reorder host-side before chunking so streamed chunks land in
             # their final positions.
             from ..ops.blocks import morton_order

@@ -120,7 +120,7 @@ def from_arrays(
 def mortonize(cloud: SplatCloud) -> SplatCloud:
     """Reorder a cloud along a 3D Morton curve (host-side, one-time).
 
-    Required by the fast render path (ops/blocks.py): spatially local blocks
+    Required by the fast render path (ops/blocks2.py): spatially local blocks
     project to tight tile rects. Rendering semantics are order-independent
     except for equal-depth16 tie-breaking (reference ties are GPU-race
     nondeterministic anyway — SURVEY.md §2.1). Padding slots stay at the tail.

@@ -13,7 +13,7 @@ shared-memory chunked loads, cooperative saturation exit). Two key mappings:
   equivalent here; the Pallas kernel reintroduces it as a perf optimization.
 
 This module is the XLA fallback/oracle-grade renderer (correct everywhere,
-gather-bound); `ops/render_pallas.py` holds the performance kernel.
+gather-bound); `ops/render_pallas3.py` holds the performance kernel.
 """
 
 from __future__ import annotations

@@ -56,11 +56,12 @@ def test_single_center_tile_matches_exact():
     uni = make_uniforms(Camera.reset_pose(), cfg)
     fast = render_frame_fast(cloud, uni, cfg, interpret=True)
     exact = render_frame_jit(cloud, uni, cfg, tile_capacity=1024)
-    # 1e-2 bar (not 1e-3): the v2 kernel's documented ε-envelopes vs exact
-    # mode — per-pixel t-cutoff applied at block granularity only, mutual
-    # non-occlusion of equal-depth16 ties, and the <=0.1% opacity clamp —
-    # measure ~5e-3 max on this deep opaque stack (see ops/render_pallas2.py
-    # docstring). Exact mode alone carries the reference 1e-3 parity bar.
+    # 1e-2 bar (not 1e-3): the fast kernel's documented ε-envelopes vs
+    # exact mode — per-pixel t-cutoff applied at batch granularity only,
+    # mutual non-occlusion of equal-depth16 ties, and the <=0.1% opacity
+    # clamp — measure ~5e-3 max on this deep opaque stack (see
+    # ops/render_pallas3.py docstring). Exact mode alone carries the
+    # reference 1e-3 parity bar.
     np.testing.assert_allclose(np.asarray(fast.image),
                                np.asarray(exact.image), atol=1e-2)
 
