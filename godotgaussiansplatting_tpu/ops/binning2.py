@@ -1,14 +1,12 @@
 """Two-level tile binning v2: packed operands + merge metadata.
 
-Same structure as ops/binning.py (supertile row-sort compaction, then
-per-tile compaction — replacing the reference's radix sort + boundary
-extraction, radix_sort_*.glsl / gsplat_boundaries.glsl), with three changes
-for the v2 kernel:
+Supertile row-sort compaction, then per-tile compaction — replacing the
+reference's radix sort + boundary extraction (radix_sort_*.glsl /
+gsplat_boundaries.glsl) at BLOCK granularity:
 
-  * tile lists are ordered by block MIN depth (the v2 kernel composites
-    blocks in list order; narrow per-block depth slabs make that order
-    nearly the exact global depth order, and the kernel's in-batch depth
-    masks repair the remainder);
+  * tile lists are ordered by block MIN depth (the v3 kernel composites
+    blocks in list order; its batch depth-indicator matmul and gated
+    lag-1 corrections make the interleaving exact within ±1 batch);
   * the level-1 sort key packs (min_depth<<16 | max_depth), so the depth
     range rides the sort for free and reaches the per-tile rows;
   * rect (4x8 bits) and nv (8 bits into the block id word) are packed,

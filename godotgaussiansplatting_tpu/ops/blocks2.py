@@ -92,7 +92,7 @@ def adaptive_cell_shift(P: int, gx: int, gy: int,
 
 
 class BlockFrame2(NamedTuple):
-    """Per-frame block-level state feeding binning + the v2 render kernel."""
+    """Per-frame block-level state feeding binning + the v3 render kernel."""
 
     payload: jnp.ndarray      # (B, PAYLOAD_WIDTH, S) f32 — see module docstring
     rect: jnp.ndarray         # (B, 4) i32 block tile rect [x0, y0, x1, y1)

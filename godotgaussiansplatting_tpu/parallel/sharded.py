@@ -159,7 +159,7 @@ def render_frame_fast_sharded(
     cross shard boundaries, so the block structure is identical to
     single-chip). Blocks then move to the devices whose tile-row slabs their
     rects intersect via ONE fixed-capacity lax.all_to_all (payload + packed
-    metadata); each device bins + renders its slab with the v2 Pallas kernel.
+    metadata); each device bins + renders its slab with the v3 Pallas kernel.
 
     Returns (images (n_view, H, W, 4), num_pairs (n_view,),
     num_exchange_overflow (n_view,)). exchange_cap is the per-(src, dst)

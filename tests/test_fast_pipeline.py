@@ -67,10 +67,10 @@ def test_single_center_tile_matches_exact():
 
 
 def test_random_scene_psnr():
-    """Random scene vs exact mode: v2 ordering (intra-block depth sort +
-    lag-1 cross-block masks) must render nearly indistinguishable imagery.
-    Round-1's block-mean ordering measured ~24-26 dB here; the VERDICT bar
-    for v2 is >= 40 dB."""
+    """Random scene vs exact mode: v3 ordering (batch depth-indicator
+    matmul + gated batch-lag-1 corrections + per-tile big lanes) must
+    render nearly indistinguishable imagery. Round-1's block-mean ordering
+    measured ~24-26 dB here; the gate is >= 40 dB (typically 46+)."""
     cfg = RasterizerConfig(width=128, height=128,
                            reference_boundary_quirk=False)
     cloud = _mortonize(synthetic_scene(4000, seed=5, extent=2.5,
