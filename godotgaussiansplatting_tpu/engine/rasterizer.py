@@ -189,27 +189,31 @@ class Rasterizer:
         if sync:
             force_readback(out.image)
             self.timings.record("Frame", (time.perf_counter() - t0) * 1e3)
-            self._check_overflow(out)
+            regrown = self._check_overflow(out)
+            if regrown is not None:
+                out = regrown  # the triggering frame itself must be un-truncated
         self.last_frame = out
         return out
 
-    def _check_overflow(self, out) -> None:
+    def _check_overflow(self, out):
         """Exact mode silently truncates a tile's list at tile_capacity;
         surface it (the reference's analogue is the '(buffer overflow!)'
-        stat flag, main.gd:98-100)."""
+        stat flag, main.gd:98-100). Returns the re-rendered frame when
+        auto-capacity grew and re-rendered, else None."""
         if self.quality != "exact":
-            return
+            return None
         max_tile = int(out.stats.max_tile_count)
         if max_tile <= self.tile_capacity:
-            return
+            return None
         if self.auto_capacity:
             # Grow to the next power of two covering the measured load and
             # re-render: exact mode stays exact at any scale (VERDICT round-1
             # weak #6). Costs one retrace, like the reference's resize path.
             new_cap = 1 << int(np.ceil(np.log2(max_tile)))
             self.tile_capacity = max(new_cap, self.tile_capacity * 2)
-            self.last_frame = self.rasterize(sync=False)
-            force_readback(self.last_frame.image)
+            regrown = self.rasterize(sync=False)
+            force_readback(regrown.image)
+            return regrown
         else:
             import warnings
             warnings.warn(

@@ -113,8 +113,10 @@ def oracle_render(
     valid = inside & (det != 0) & (lam1 >= 0) & (lam2 >= 0) & (nt > 0)
 
     z3 = ndc[:, 2] ** 3
-    depth16 = (np.clip(z3 * 0xFFFF, -2**31, 2**31 - 1).astype(np.int64)
-               .astype(np.uint32) & 0xFFFF)
+    # 0xFFFE clamp matches ops/projection.py (0xFFFF = padding sentinel)
+    depth16 = np.minimum(
+        np.clip(z3 * 0xFFFF, -2**31, 2**31 - 1).astype(np.int64)
+        .astype(np.uint32) & 0xFFFF, 0xFFFE).astype(np.uint32)
     vd = splat_pos - np.asarray(camera_pos, f)
     vd = vd / np.maximum(np.linalg.norm(vd, axis=-1, keepdims=True), 1e-12)
     rgb = _eval_sh_np(vd, sh, cfg.sh_degree)

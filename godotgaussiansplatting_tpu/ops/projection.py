@@ -157,8 +157,14 @@ def project_splats(
     nt = jnp.where(valid, nt, 0)
 
     # --- depth key: ndc.z³ quantized to 16 bits (:218) ---
+    # Clamped to 0xFFFE: 0xFFFF is reserved as the invalid/padding sentinel
+    # throughout the fast path (a far-plane-edge splat quantizing to 0xFFFF
+    # would otherwise collide with padding and be silently dropped by
+    # binning). Affects only exact far-plane ties, below any pixel tolerance.
     z3 = ndc[:, 2] * ndc[:, 2] * ndc[:, 2]
-    depth16 = (z3 * f32(0xFFFF)).astype(jnp.uint32) & jnp.uint32(0xFFFF)
+    depth16 = jnp.minimum(
+        (z3 * f32(0xFFFF)).astype(jnp.uint32) & jnp.uint32(0xFFFF),
+        jnp.uint32(0xFFFE))
 
     # --- SH color (:198-203) ---
     vd = splat_pos - camera_pos

@@ -59,10 +59,17 @@ from ..config import RasterizerConfig
 from .blocks2 import BLOCK_SIZE, DEPTH_INVALID, GATE_OFF, PAYLOAD_WIDTH
 
 OUT_CH = 8         # output channels per pixel: r, g, b, 1, t_final, diag...
-BATCH_LANES = 512  # lanes per chain batch (U = BATCH_LANES / BLOCK_SIZE
-                   # blocks; halved at tile_size 32 to fit VMEM)
+BATCH_LANES = 512  # lanes per chain batch at tile_size 16 (U = BATCH_LANES /
+                   # BLOCK_SIZE blocks; default_batch_u scales U down as the
+                   # pixel count grows so pend_* stays inside VMEM)
 LOG_MIN_ALPHA = -5.54126354515843  # ln(1/255)
 ALPHA_MAX = 0.99994
+
+
+def default_batch_u(tile_size: int) -> int:
+    """Blocks per chain batch: 4 at tile 16; scaled down with pixel count
+    (pend_z/pend_la are (2, NPX, U*S) — U=4 at NPX=1024 would be ~6 MB)."""
+    return max(1, (BATCH_LANES // BLOCK_SIZE) // max(1, (tile_size // 16) ** 2))
 
 
 def _render_kernel_v3(
@@ -175,11 +182,15 @@ def _render_kernel_v3(
         d_row = jnp.where(live, pay[12:13, :], DEPTH_INVALID)   # (1, W)
         return F, rgbT, d_row
 
-    # pixf entries are small integers (<= tile_size^2 = 256): EXACTLY bf16-
-    # representable, so splitting only F into hi+lo bf16 halves gives
-    # ~2^-16-relative power accuracy in TWO MXU passes (vs HIGHEST's six;
-    # Mosaic does not lower Precision.HIGH).
+    # At tile_size <= 16, pixf entries are small integers (<= 15^2 = 225):
+    # EXACTLY bf16-representable, so splitting only F into hi+lo bf16 halves
+    # gives ~2^-16-relative power accuracy in TWO MXU passes (vs HIGHEST's
+    # six; Mosaic does not lower Precision.HIGH). At tile_size 32 entries
+    # reach 961 (> 256, inexact in bf16): pixf gets its own lo half and a
+    # third pass keeps the same accuracy.
     pixf_b = pixf.astype(bf16)
+    pixf_lo = ((pixf - pixf_b.astype(f32)).astype(bf16)
+               if tile_size > 16 else None)
 
     def mm_power(F_all):
         Fh = F_all.astype(bf16)
@@ -190,6 +201,10 @@ def _render_kernel_v3(
         P = P + jax.lax.dot_general(
             pixf_b, Fl, (((1,), (0,)), ((), ())),
             preferred_element_type=f32)
+        if pixf_lo is not None:
+            P = P + jax.lax.dot_general(
+                pixf_lo, Fh, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)
         alpha = jnp.minimum(jnp.exp(P), ALPHA_MAX)
         la = jnp.log1p(-alpha)
         return alpha, la
@@ -479,8 +494,16 @@ def render_tiles_v3(
     lowp: bool = True,
     interpret: bool = False,
     pixel_offset_y=0,
+    batch_u: int | None = None,
+    ablate: str | None = None,
 ):
-    """Launch the v3 kernel over the tile grid -> (T, NPX, OUT_CH) tiles."""
+    """Launch the v3 kernel over the tile grid -> (T, NPX, OUT_CH) tiles.
+
+    batch_u / ablate are explicit static knobs (benchmark ablation hooks);
+    when left None they fall back to the GS_BATCH_U / GS_KERNEL_ABLATE env
+    vars for command-line sweeps — with a loud warning for ablate, since a
+    stray env var would silently corrupt production renders (and changing
+    either after first compile is ignored by the jit cache)."""
     gx, gy = cfg.tile_dims
     T = gx * gy
     NPX = cfg.tile_size * cfg.tile_size
@@ -489,13 +512,21 @@ def render_tiles_v3(
 
     C2 = bins.tile_blocks.shape[1]
     obig = tile_bigs.bigpay.shape[2]
-    import os as _os2
-    Un = int(_os2.environ.get("GS_BATCH_U",
-                              max(1, BATCH_LANES // BLOCK_SIZE)))
+    import os as _os
+    if batch_u is None:
+        batch_u = int(_os.environ.get("GS_BATCH_U",
+                                      default_batch_u(cfg.tile_size)))
+    Un = batch_u
     max_batches = -(-C2 // Un)
     cdt = jnp.bfloat16 if lowp else jnp.float32
-    import os as _os
-    ablate = _os.environ.get("GS_KERNEL_ABLATE", "")
+    if ablate is None:
+        ablate = _os.environ.get("GS_KERNEL_ABLATE", "")
+        if ablate:
+            import warnings
+            warnings.warn(
+                f"GS_KERNEL_ABLATE={ablate!r} is set: render kernel stages "
+                "are STRIPPED; output is corrupt by design (ablation runs "
+                "only).", RuntimeWarning, stacklevel=2)
     rows = pack_tile_rows_v3(bins.tile_blocks, bins.tile_nblocks,
                              tile_bigs.tile_nbig, bins.tile_minmax,
                              bins.tile_candidates,

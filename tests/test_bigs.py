@@ -10,6 +10,7 @@ accounting.
 """
 
 import numpy as np
+import pytest
 
 import godotgaussiansplatting_tpu as gs
 from godotgaussiansplatting_tpu.ops.bigbin import bin_bigs
@@ -18,6 +19,8 @@ from godotgaussiansplatting_tpu.ops.blocks2 import (DEPTH_INVALID,
                                                     build_block_frame2)
 from godotgaussiansplatting_tpu.ops.pipeline import make_uniforms
 from godotgaussiansplatting_tpu.ops.projection import project_splats
+
+pytestmark = pytest.mark.slow  # interpret-mode / mesh suites: full tier only
 
 
 def _project(cloud, cfg):

@@ -29,6 +29,7 @@ def _psnr(a, b):
     return 10 * np.log10(1.0 / max(mse, 1e-12))
 
 
+@pytest.mark.slow
 def test_single_center_tile_matches_exact():
     """All splats share one center tile → the (tile, depth) cluster sort
     leaves pure depth order, so the fast path must match the exact pipeline
@@ -66,6 +67,7 @@ def test_single_center_tile_matches_exact():
                                np.asarray(exact.image), atol=1e-2)
 
 
+@pytest.mark.slow
 def test_random_scene_psnr():
     """Random scene vs exact mode: v3 ordering (batch depth-indicator
     matmul + gated batch-lag-1 corrections + per-tile big lanes) must

@@ -20,6 +20,8 @@ import godotgaussiansplatting_tpu as gs
 from godotgaussiansplatting_tpu.models.ply import load_splats
 from godotgaussiansplatting_tpu.utils.image import read_png, to_uint8
 
+pytestmark = pytest.mark.slow  # interpret-mode / mesh suites: full tier only
+
 HERE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
 
 

@@ -11,6 +11,8 @@ from godotgaussiansplatting_tpu.ops.pipeline import make_uniforms
 from godotgaussiansplatting_tpu.parallel.sharded import (
     make_mesh, render_frame_sharded, stack_uniforms)
 
+pytestmark = pytest.mark.slow  # interpret-mode / mesh suites: full tier only
+
 
 @pytest.mark.parametrize("n_view,n_tile", [(1, 2), (1, 4), (2, 4)])
 def test_sharded_matches_single_device(n_view, n_tile):
