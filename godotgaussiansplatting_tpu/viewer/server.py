@@ -59,7 +59,10 @@ pre{color:#aaa;white-space:pre-wrap}
  transition:width .3s;z-index:9}
 #cursor{position:absolute;width:14px;height:14px;border:2px solid #fff;
  border-radius:50%;box-shadow:0 0 6px #000;pointer-events:none;display:none;
- transform:translate(-50%,-50%)}
+ transform:translate(-50%,-50%);
+ /* move tween: 0.2s ease-out circ (util/cursor.gd:20) */
+ transition:left .2s cubic-bezier(0,.55,.45,1),top .2s cubic-bezier(0,.55,.45,1),
+  opacity .1s linear}
 </style></head><body>
 <div id=loadbar></div>
 <div id=view style=position:relative><img id=img draggable=false>
@@ -89,7 +92,7 @@ const img = document.getElementById('img');
 let ui = {fov:75, rscale:1, mscale:1, heatmap:0, pause:1};
 let uiDirty = true;
 let keys = {}, dx = 0, dy = 0, wheel = 0, lmb = 0, rmb = 0;
-let pick = null;
+let pick = null, lastCx = 0, lastCy = 0;
 function post(u,b){return fetch(u,{method:'POST',body:JSON.stringify(b)})}
 img.addEventListener('mousedown', e => {
   if (e.button === 2) rmb = 1; else if (e.button === 0) lmb = 1;
@@ -105,7 +108,24 @@ window.addEventListener('mousemove', e => {
   if (lmb || rmb) { dx += e.movementX; dy += e.movementY; }});
 img.addEventListener('contextmenu', e=>e.preventDefault());
 img.addEventListener('wheel', e => {wheel += e.deltaY>0?1:-1; e.preventDefault();});
-window.addEventListener('keydown', e=>{keys[e.key.toLowerCase()]=1;});
+let guiVisible = true;
+window.addEventListener('keydown', e=>{
+  keys[e.key.toLowerCase()]=1;
+  if (e.repeat) return;
+  // main.gd:77-84 hotkeys: H toggles the GUI (panel + cursor + load bar),
+  // F toggles fullscreen, ESC returns to windowed
+  if (e.key.toLowerCase() === 'h') {
+    guiVisible = !guiVisible;
+    document.getElementById('panel').style.display = guiVisible?'block':'none';
+    document.getElementById('loadbar').style.visibility =
+      guiVisible?'visible':'hidden';
+    if (!guiVisible) document.getElementById('cursor').style.display='none';
+  } else if (e.key.toLowerCase() === 'f') {
+    if (document.fullscreenElement) document.exitFullscreen();
+    else document.documentElement.requestFullscreen();
+  } else if (e.key === 'Escape' && document.fullscreenElement) {
+    document.exitFullscreen();
+  }});
 window.addEventListener('keyup', e=>{keys[e.key.toLowerCase()]=0;});
 setInterval(()=>{
   const b = {keys:{w:keys['w']||0, a:keys['a']||0, s:keys['s']||0,
@@ -142,11 +162,31 @@ async function loop(){
     document.getElementById('override').disabled = s.has_override;
     document.getElementById('breset').disabled = !s.has_override;
     const cur = document.getElementById('cursor');
-    if (s.cursor) {
+    if (s.cursor && guiVisible) {
       const rr = img.getBoundingClientRect();
+      const nx = s.cursor[0]*rr.width, ny = s.cursor[1]*rr.height;
+      const wasHidden = cur.style.display !== 'block';
+      const jump = Math.hypot(nx-lastCx, ny-lastCy);
       cur.style.display = 'block';
-      cur.style.left = (s.cursor[0]*rr.width) + 'px';
-      cur.style.top = (s.cursor[1]*rr.height) + 'px';
+      if (wasHidden) {  // cursor.gd:13: alpha==0 → jump without tween
+        cur.style.transition = 'opacity .1s linear';
+        cur.style.left = nx+'px'; cur.style.top = ny+'px';
+        void cur.offsetWidth;  // flush so the move isn't animated
+        cur.style.transition = '';
+      } else {
+        cur.style.left = nx+'px'; cur.style.top = ny+'px';
+        if (jump > 12) {  // squash & stretch along motion (cursor.gd:21-25)
+          const a = Math.atan2(ny-lastCy, nx-lastCx);
+          const k = Math.min(1.0, jump*0.02);
+          cur.style.transform = 'translate(-50%,-50%) rotate('+a+'rad)'
+            + ' scale('+(1+k)+','+(1/(1+k))+')';
+          setTimeout(()=>{cur.style.transform =
+            'translate(-50%,-50%) rotate('+a+'rad) scale(1,1)';}, 75);
+          setTimeout(()=>{cur.style.transform =
+            'translate(-50%,-50%)';}, 160);
+        }
+      }
+      lastCx = nx; lastCy = ny;
       cur.style.opacity = s.cursor_alpha;
     } else cur.style.display = 'none';
   }
@@ -165,8 +205,8 @@ class ViewerState:
         self.ctl = FreeLookController()
         self.mode = FreeLookController.NONE
         self.lmb_down_at = None
-        self.cursor_frac = None
-        self.cursor_set_at = 0.0
+        self.cursor_world = None      # focus point, Godot world frame
+        self.cursor_set_at = -1e9
         self.fov = 75.0
         self.pause_allowed = True
         self.last_change = time.monotonic()
@@ -250,9 +290,32 @@ class ViewerState:
             with self.lock:
                 # godot frame: (-x, -y, z) applied by get_splat_position
                 self.ctl.set_focused_position(pos)
-                self.cursor_frac = [p["x"], p["y"]]
+                self.cursor_world = np.asarray(pos, np.float32)
                 self.cursor_set_at = time.monotonic()
                 self.last_change = time.monotonic()
+
+    def cursor_screen(self):
+        """Screen fraction of the world-space cursor (the reference cursor is
+        a world-anchored capsule, util/cursor.gd — it tracks the scene as the
+        camera moves, unlike a screen-pinned marker). None if unset/behind."""
+        if self.cursor_world is None:
+            return None
+        import dataclasses
+        cam = dataclasses.replace(self.ctl.camera, fov_y=self.fov,
+                                  basis_override=self.r.basis_override)
+        w, h = self.r.texture_size
+        view = cam.view_matrix()
+        proj = cam.projection_matrix(w, h)
+        # invert get_splat_position's host transform: godot → scaled-PLY frame
+        ply = np.diag([-1.0, -1.0, 1.0]).astype(np.float32) @ (
+            self.r.basis_override @ self.cursor_world)
+        vp = view[:3, :3] @ ply + view[:3, 3]
+        clip = proj[:3, :3] @ vp + proj[:3, 3]
+        cw = float(proj[3, :3] @ vp + proj[3, 3])
+        if cw <= 1e-6:
+            return None
+        return [float(clip[0] / cw) * 0.5 + 0.5,
+                float(clip[1] / cw) * 0.5 + 0.5]
 
     # -- discrete buttons -----------------------------------------------------
 
@@ -269,7 +332,7 @@ class ViewerState:
     def cam_reset(self):
         with self.lock:
             self.ctl.reset()
-            self.cursor_frac = None
+            self.cursor_world = None
             self.last_change = time.monotonic()
 
     # -- render loop ----------------------------------------------------------
@@ -344,13 +407,22 @@ def serve(rasterizer: Rasterizer, port: int = 8000,
             elif self.path == "/stats":
                 prog = (state.r.num_splats_loaded
                         / max(1, state.r.cloud.num_splats))
-                # cursor marker fades out after 1.5 s (cursor.gd:23-29)
+                # cursor alpha envelope matches util/cursor.gd:26-29:
+                # fade in to 0.35 over 0.25 s, hold, fade out over 0.5 s
+                # after a 2.0 s delay
                 age = time.monotonic() - state.cursor_set_at
+                if age < 0.25:
+                    alpha = 0.35 * (age / 0.25)
+                elif age < 2.0:
+                    alpha = 0.35
+                else:
+                    alpha = 0.35 * max(0.0, 1.0 - (age - 2.0) / 0.5)
                 self._send(200, json.dumps({
                     "panel": state.panel_text(),
                     "progress": prog,
-                    "cursor": state.cursor_frac if age < 1.5 else None,
-                    "cursor_alpha": max(0.0, 1.0 - age / 1.5),
+                    "cursor": (state.cursor_screen()
+                               if alpha > 0.0 else None),
+                    "cursor_alpha": round(alpha, 4),
                     "has_override": bool(
                         np.any(state.r.basis_override
                                != np.eye(3, dtype=np.float32))),
