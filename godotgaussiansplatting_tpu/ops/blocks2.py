@@ -30,8 +30,10 @@ blocks and BigSet lane tables):
                     <= -1e-3 so alpha < 1 strictly and log1p(-alpha) in the
                     kernel stays finite); invalid lanes: f0=-1e4, f1..f5=0
     6..8   r, g, b  SH color (invalid: 0)
-    9..11  ix, iy, radius   image position + biased radius for the exact
-                    rect-coverage gate (invalid: parked at -1e6 / 0)
+    9..10  ix, iy  image position (invalid: parked at -1e6)
+    11     rx|ry   anisotropic coverage half-widths as a bf16 bit-pair
+                    (extents_from_conic; invalid: 0) for the per-lane
+                    rect-coverage gate
     12     depth16  as f32; invalid lanes = +BIG (sort to block tail)
     13     idx      source splat index, bitcast u32->f32 (picking)
     14..15 bcx, bcy feature center (per-block mean for chains; per-lane
@@ -78,6 +80,56 @@ def _unpack_f16(w):
     b = jax.lax.bitcast_convert_type((w >> 16).astype(jnp.uint16),
                                      jnp.float16)
     return a.astype(jnp.float32), b.astype(jnp.float32)
+
+
+def _round_bf16(x):
+    return x.astype(jnp.bfloat16).astype(jnp.float32)
+
+
+def _pack_bf16_pair(a, b):
+    """Two (bf16-rounded) f32 arrays -> one f32 row of bf16 bit-pairs.
+
+    Used for payload row 11 (rx | ry<<16): bf16 is TPU-native, so the render
+    kernel unpacks with plain bitcasts (no f16 support needed in Mosaic)."""
+    ah = jax.lax.bitcast_convert_type(
+        a.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    bh = jax.lax.bitcast_convert_type(
+        b.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(ah | (bh << 16), jnp.float32)
+
+
+def extents_from_conic(ca, cb, cc, op):
+    """Anisotropic alpha-reach half-widths (rx, ry) of the splat bbox.
+
+    The reference bounds every splat by a SQUARE of half-width
+    R = opacity^0.2 * 2.5 * sqrt(lambda_max)
+    (gsplat_projection.glsl:187-190); the exact pipeline reproduces that
+    square. For the fast path's coverage structures the square is too wide
+    along the minor axis by the splat's aspect ratio, which inflates block
+    rects, tile bins, big-lane lists and kernel batches alike. Per axis,
+    everything beyond
+        r_axis = sigma_axis * sqrt(2 * ln(255 * opacity))
+    has alpha below 1/255 — the reference's own per-pixel termination
+    threshold (gsplat_render.glsl:79) — so the cut is
+        rx = min(R, sqrt(2 ln(255 op) * Sigma_xx)),  ry = ... Sigma_yy,
+    with Sigma the 2D covariance (inverse of the conic quadratic
+    [ca cb; cb cc]). The min keeps coverage inside the reference square
+    (identical where the splat is round), and the excluded strips carry
+    per-splat alpha < 1/255. Values are bf16-rounded so the rects built
+    here and the render kernel's per-lane gate (which unpacks payload
+    row 11) agree bit-exactly."""
+    det = jnp.maximum(ca * cc - cb * cb, 1e-20)
+    sxx = jnp.maximum(cc / det, 0.0)
+    syy = jnp.maximum(ca / det, 0.0)
+    # lambda_max of Sigma (for the reference square cap)
+    m = 0.5 * (sxx + syy)
+    lam = m + jnp.sqrt(jnp.maximum(m * m - 1.0 / det, 0.0))
+    R = jnp.power(jnp.maximum(op, 0.0), 0.2) * 2.5 * jnp.sqrt(lam)
+    vis = jnp.sqrt(2.0 * jnp.maximum(
+        jnp.log(jnp.maximum(op, 1e-8) * 255.0), 0.125))
+    rx = jnp.minimum(R, vis * jnp.sqrt(sxx))
+    ry = jnp.minimum(R, vis * jnp.sqrt(syy))
+    return _round_bf16(rx), _round_bf16(ry)
 
 
 def adaptive_cell_shift(P: int, gx: int, gy: int,
@@ -139,7 +191,7 @@ def default_big_cap(P: int) -> int:
 
 def _build_big_set(ops, ok, depth16, residual, gx, gy, ts):
     """Stage-1-sorted operand rows for the taken lanes -> BigSet."""
-    ix, iy, ca, cb, cc, r, g, b, op, rad, idx = ops
+    ix, iy, ca, cb, cc, r, g, b, op, idx = ops
     valid = ok
     bcx = jnp.clip(jnp.round(ix), 0.0, 16383.0)
     bcy = jnp.clip(jnp.round(iy), 0.0, 16383.0)
@@ -156,7 +208,9 @@ def _build_big_set(ops, ok, depth16, residual, gx, gy, ts):
     f5 = jnp.where(valid, -cb, zero)
     ix_p = jnp.where(valid, ix, _CULL_FAR)
     iy_p = jnp.where(valid, iy, _CULL_FAR)
-    rad_p = jnp.where(valid, rad, zero)
+    rx, ry = extents_from_conic(ca, cb, cc, op)
+    rx_p = jnp.where(valid, rx, zero)
+    ry_p = jnp.where(valid, ry, zero)
     depth_f = jnp.where(valid, (depth16 & 0xFFFF).astype(jnp.float32),
                         DEPTH_INVALID)
     idx_f = jax.lax.bitcast_convert_type(idx, jnp.float32)
@@ -164,14 +218,14 @@ def _build_big_set(ops, ok, depth16, residual, gx, gy, ts):
         f0, f1, f2, f3, f4, f5,
         jnp.where(valid, r, zero), jnp.where(valid, g, zero),
         jnp.where(valid, b, zero),
-        ix_p, iy_p, rad_p, depth_f, idx_f, bcx, bcy,
+        ix_p, iy_p, _pack_bf16_pair(rx_p, ry_p), depth_f, idx_f, bcx, bcy,
     ], axis=1)                                     # (big_cap, PW)
 
     gxf, gyf = jnp.float32(gx), jnp.float32(gy)
-    x0 = jnp.clip((ix_p - rad_p) / ts, 0.0, gxf).astype(jnp.int32)
-    y0 = jnp.clip((iy_p - rad_p) / ts, 0.0, gyf).astype(jnp.int32)
-    x1 = jnp.clip(jnp.ceil((ix_p + rad_p) / ts), 0.0, gxf).astype(jnp.int32)
-    y1 = jnp.clip(jnp.ceil((iy_p + rad_p) / ts), 0.0, gyf).astype(jnp.int32)
+    x0 = jnp.clip((ix_p - rx_p) / ts, 0.0, gxf).astype(jnp.int32)
+    y0 = jnp.clip((iy_p - ry_p) / ts, 0.0, gyf).astype(jnp.int32)
+    x1 = jnp.clip(jnp.ceil((ix_p + rx_p) / ts), 0.0, gxf).astype(jnp.int32)
+    y1 = jnp.clip(jnp.ceil((iy_p + ry_p) / ts), 0.0, gyf).astype(jnp.int32)
     rect = jnp.where(valid[:, None],
                      jnp.stack([x0, y0, x1, y1], axis=-1),
                      jnp.zeros((ix.shape[0], 4), jnp.int32))
@@ -240,7 +294,13 @@ def build_block_frame2(prj: ProjectedSplats, cfg: RasterizerConfig,
     if big_cap is None:
         big_cap = default_big_cap(P)
     big_cap = max(big_cap, S)
-    is_big = (radius_sb >= BIG_RADIUS) & valid_sb
+    # bigness by the anisotropic max extent (<= the reference radius): a
+    # sliver splat wide in one axis only can stay in its chain — the 8x4
+    # bitmap culls its rect row cheaply
+    rx_sb, ry_sb = extents_from_conic(conic[..., 0], conic[..., 1],
+                                      conic[..., 2], color[..., 3])
+    ext_sb = jnp.maximum(rx_sb, ry_sb)
+    is_big = (ext_sb >= BIG_RADIUS) & valid_sb
     # candidate window per superblock: wide enough that big_cap lanes fit
     # even when Morton order concentrates bigs in few superblocks (small
     # scenes degenerate to full rows, which is cheap there anyway)
@@ -269,7 +329,7 @@ def build_block_frame2(prj: ProjectedSplats, cfg: RasterizerConfig,
         (gath(ipos_sb[..., 0]), gath(ipos_sb[..., 1]),
          gath(conic[..., 0]), gath(conic[..., 1]), gath(conic[..., 2]),
          gath(color[..., 0]), gath(color[..., 1]), gath(color[..., 2]),
-         gath(color[..., 3]), gath(radius_sb), gath(idx)),
+         gath(color[..., 3]), gath(idx)),
         tk_ok, dep_tk,
         residual=(jnp.sum(is_big) - jnp.sum(tk_ok)).astype(jnp.int32),
         gx=gx, gy=gy, ts=ts)
@@ -296,12 +356,15 @@ def build_block_frame2(prj: ProjectedSplats, cfg: RasterizerConfig,
     depth_b = key_b & 0xFFFF
     ix, iy = blk(s1[1]), blk(s1[2])
     ca, cb = _unpack_f16(blk(s1[3]))
-    cc, rad = _unpack_f16(blk(s1[4]))
+    cc, _ = _unpack_f16(blk(s1[4]))
     r, g = _unpack_f16(blk(s1[5]))
     b, op = _unpack_f16(blk(s1[6]))
     idx_s = blk(s1[7])
     valid = key_b != inf
     depth = depth_b.astype(jnp.float32)
+    # anisotropic coverage extents, derived from the carried conic/opacity
+    # (no extra sort operand)
+    rx, ry = extents_from_conic(ca, cb, cc, op)
 
     # --- per-block center + MXU power features ------------------------------
     nv = jnp.sum(valid, axis=1).astype(jnp.int32)
@@ -330,7 +393,8 @@ def build_block_frame2(prj: ProjectedSplats, cfg: RasterizerConfig,
 
     ix_p = jnp.where(valid, ix, _CULL_FAR)
     iy_p = jnp.where(valid, iy, _CULL_FAR)
-    rad_p = jnp.where(valid, rad, 0.0)
+    rx_p = jnp.where(valid, rx, 0.0)
+    ry_p = jnp.where(valid, ry, 0.0)
     depth_p = jnp.where(valid, depth, DEPTH_INVALID)
     idx_f = jax.lax.bitcast_convert_type(idx_s, jnp.float32)
 
@@ -344,15 +408,16 @@ def build_block_frame2(prj: ProjectedSplats, cfg: RasterizerConfig,
         f0, f1, f2, f3, f4, f5,
         jnp.where(valid, r, 0.0), jnp.where(valid, g, 0.0),
         jnp.where(valid, b, 0.0),
-        ix_p, iy_p, rad_p, depth_p, idx_f, bcx_l, bcy_l,
+        ix_p, iy_p, _pack_bf16_pair(rx_p, ry_p), depth_p, idx_f,
+        bcx_l, bcy_l,
     ], axis=1)                                                 # (B, 16, S)
 
     # --- block tile rect / coverage bitmap / depth range --------------------
     gxf, gyf = jnp.float32(gx), jnp.float32(gy)
-    srx0 = jnp.clip((ix_p - rad_p) / ts, 0.0, gxf).astype(jnp.int32)
-    sry0 = jnp.clip((iy_p - rad_p) / ts, 0.0, gyf).astype(jnp.int32)
-    srx1 = jnp.clip(jnp.ceil((ix_p + rad_p) / ts), 0.0, gxf).astype(jnp.int32)
-    sry1 = jnp.clip(jnp.ceil((iy_p + rad_p) / ts), 0.0, gyf).astype(jnp.int32)
+    srx0 = jnp.clip((ix_p - rx_p) / ts, 0.0, gxf).astype(jnp.int32)
+    sry0 = jnp.clip((iy_p - ry_p) / ts, 0.0, gyf).astype(jnp.int32)
+    srx1 = jnp.clip(jnp.ceil((ix_p + rx_p) / ts), 0.0, gxf).astype(jnp.int32)
+    sry1 = jnp.clip(jnp.ceil((iy_p + ry_p) / ts), 0.0, gyf).astype(jnp.int32)
     bigc = jnp.int32(1 << 20)
     srx0 = jnp.where(valid, srx0, bigc)
     sry0 = jnp.where(valid, sry0, bigc)

@@ -188,7 +188,12 @@ def _pick_fast(frame: FastFrameOutput, tile_id, means, model_scale, cfg):
     bigp = frame.tile_bigpay[tile_id]                       # (16, OBIG)
     ix = jnp.concatenate([pays[:, 9].reshape(-1), bigp[9]])
     iy = jnp.concatenate([pays[:, 10].reshape(-1), bigp[10]])
-    rad = jnp.concatenate([pays[:, 11].reshape(-1), bigp[11]])
+    rw = jax.lax.bitcast_convert_type(
+        jnp.concatenate([pays[:, 11].reshape(-1), bigp[11]]), jnp.uint32)
+    rx = jax.lax.bitcast_convert_type(
+        (rw & 0xFFFF).astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32)
+    ry = jax.lax.bitcast_convert_type(
+        (rw >> 16).astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32)
     depth = jnp.concatenate([pays[:, 12].reshape(-1), bigp[12]])
     idx = jax.lax.bitcast_convert_type(
         jnp.concatenate([pays[:, 13].reshape(-1), bigp[13]]), jnp.uint32)
@@ -197,8 +202,8 @@ def _pick_fast(frame: FastFrameOutput, tile_id, means, model_scale, cfg):
         jnp.ones((bigp.shape[1],), bool)])
     tx = (tile_id % gx).astype(jnp.float32) * ts
     ty = (tile_id // gx).astype(jnp.float32) * ts
-    covered = ((ix - rad < tx + ts) & (ix + rad > tx)
-               & (iy - rad < ty + ts) & (iy + rad > ty)
+    covered = ((ix - rx < tx + ts) & (ix + rx > tx)
+               & (iy - ry < ty + ts) & (iy + ry > ty)
                & (depth < DEPTH_INVALID) & lane_ok)
     key = jnp.where(covered, depth, DEPTH_INVALID)
     skey, sidx = jax.lax.sort_key_val(key, idx)

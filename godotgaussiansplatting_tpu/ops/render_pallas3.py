@@ -37,13 +37,15 @@ depth midpoint — each (chain block, big lane) pair interacts in exactly one
 direction, so energy is conserved; the approximation error is bounded by
 the mass of chain blocks whose depth slab straddles a big lane.
 
-Residual deviation vs a full global sort: chain blocks >= 2 batches apart
-with overlapping depth ranges, block-granular chain<->big interleaving at
-slab straddles, equal-depth16 ties (mutually non-occluding here; GPU-race
-nondeterministic in the reference, SURVEY.md §2.1), and per-tile big lists
-truncated at OBIG (closest-first; counted upstream). The per-pixel
-early-out (gsplat_render.glsl:79) is applied at batch granularity and
-accounts for resident big mass in front of the stream position.
+All in-window ordering — including equal-depth16 ties — follows (depth16,
+source index) lexicographic order, which IS the exact pipeline's semantics
+(its stable pair sort breaks ties by emission order; the reference's GPU
+sort races instead, SURVEY.md §2.1). Residual deviation vs a full global
+sort: chain blocks >= 2 batches apart with overlapping depth ranges, and
+per-tile big lists truncated at OBIG (closest-first; counted upstream).
+The per-pixel early-out (gsplat_render.glsl:79) is applied at batch
+granularity and accounts for resident big mass in front of the stream
+position.
 """
 
 from __future__ import annotations
@@ -85,10 +87,12 @@ def _render_kernel_v3(
     pend_la,         # VMEM (2, NPX, US) cdt
     pend_rgb,        # VMEM (2, 4, US) bf16
     pend_d,          # VMEM (2, 1, US) f32
+    pend_i,          # VMEM (2, 1, US) i32 — source idx (lex tie-break)
     big_z,           # VMEM (NPX, OBIG) f32
     big_la,          # VMEM (NPX, OBIG) cdt
     big_rgb,         # VMEM (4, OBIG) bf16
     big_d,           # VMEM (1, OBIG) f32
+    big_i,           # VMEM (1, OBIG) i32
     cols_v,          # VMEM (NPX, 8) f32 — one lane-padded buffer holding all
                      # per-pixel column state: [acc r,g,b,-, tcar, texit,
                      # big_tot, -] (separate (NPX,1) scratches each pad to
@@ -157,7 +161,8 @@ def _render_kernel_v3(
     tsz = float(tile_size)
 
     def eval_payload(pay, live):
-        """(PW, W) payload -> (F (8,W) tile-centered, rgbT (3,W), d (1,W)).
+        """(PW, W) payload -> (F (8,W) tile-centered, rgbT (3,W), d (1,W),
+        i (1,W) source index).
 
         live: scalar or (1, W) mask; dead lanes get alpha=0 via GATE_OFF."""
         f0, f1, f2 = pay[0:1, :], pay[1:2, :], pay[2:3, :]
@@ -168,9 +173,16 @@ def _render_kernel_v3(
             + dx * dy * f5
         f1u = f1 + 2.0 * dx * f3 + dy * f5
         f2u = f2 + 2.0 * dy * f4 + dx * f5
-        ixr, iyr, rad = pay[9:10, :], pay[10:11, :], pay[11:12, :]
-        covered = ((ixr - rad < tile_x + tsz) & (ixr + rad > tile_x)
-                   & (iyr - rad < tile_y + tsz) & (iyr + rad > tile_y))
+        ixr, iyr = pay[9:10, :], pay[10:11, :]
+        # row 11: anisotropic half-widths rx|ry as a bf16 bit-pair
+        # (ops/blocks2.extents_from_conic)
+        rw = jax.lax.bitcast_convert_type(pay[11:12, :], jnp.uint32)
+        rxw = jax.lax.bitcast_convert_type(
+            (rw & 0xFFFF).astype(jnp.uint16), bf16).astype(f32)
+        ryw = jax.lax.bitcast_convert_type(
+            (rw >> 16).astype(jnp.uint16), bf16).astype(f32)
+        covered = ((ixr - rxw < tile_x + tsz) & (ixr + rxw > tile_x)
+                   & (iyr - ryw < tile_y + tsz) & (iyr + ryw > tile_y))
         gate = jnp.where(covered & live, 0.0, GATE_OFF)
         z1 = jnp.zeros((1, pay.shape[1]), f32)
         F = jnp.concatenate([
@@ -180,7 +192,17 @@ def _render_kernel_v3(
             jnp.where(live, f5, 0.0), gate, z1], axis=0)        # (8, W)
         rgbT = jnp.where(live, pay[6:9, :], 0.0).astype(bf16)   # (3, W)
         d_row = jnp.where(live, pay[12:13, :], DEPTH_INVALID)   # (1, W)
-        return F, rgbT, d_row
+        i_row = jax.lax.bitcast_convert_type(pay[13:14, :], jnp.int32)
+        return F, rgbT, d_row, i_row
+
+    def lex_front(dA, iA, dB, iB):
+        """in-front indicator by (depth, source idx) lexicographic order —
+        the EXACT pipeline's tie semantics: its stable pair sort breaks
+        equal (tile, depth16) keys by emission order = splat index
+        (ops/sort.py; the reference's GPU sort races instead). Arithmetic
+        masks: lt/eq are disjoint, so lt + eq*ilt is their union."""
+        return ((dA < dB).astype(cdt)
+                + (dA == dB).astype(cdt) * (iA < iB).astype(cdt))
 
     # At tile_size <= 16, pixf entries are small integers (<= 15^2 = 225):
     # EXACTLY bf16-representable, so splitting only F into hi+lo bf16 halves
@@ -221,16 +243,19 @@ def _render_kernel_v3(
 
     @pl.when(has_big)
     def _():
-        F, rgbT, d_row = eval_payload(big_vmem[slot_r], True)
+        F, rgbT, d_row, i_row = eval_payload(big_vmem[slot_r], True)
         alpha, la = mm_power(F)
         lac = la.astype(cdt)
         big_la[...] = lac
+        # intra-big order = list order: the per-tile big list is depth16-
+        # sorted with stable (= source idx) ties, i.e. already (d, idx) lex
         big_z[...] = jax.lax.dot_general(
             lac, LT_OB, (((1,), (0,)), ((), ())),
             preferred_element_type=f32)
         big_rgb[...] = jnp.concatenate(
             [rgbT, jnp.zeros((1, obig), bf16)], axis=0)
         big_d[...] = d_row
+        big_i[...] = i_row
         cols_v[:, 6:7] = jnp.sum(la, axis=1, keepdims=True)
         # 16-bucket depth-occupancy bitmask: the per-batch straddle gate
         # tests it with pure scalar ops — a jnp.any() per batch syncs the
@@ -269,12 +294,6 @@ def _render_kernel_v3(
 
     start_batch(jnp.int32(0))
 
-    # static structure masks for the intra-batch order matrix (as cdt floats;
-    # Mosaic cannot select on (US, US) i1 vectors)
-    li = jax.lax.broadcasted_iota(jnp.int32, (US, US), 0)
-    lj = jax.lax.broadcasted_iota(jnp.int32, (US, US), 1)
-    SAME_LOWER = (((li // S) == (lj // S)) & (li < lj)).astype(cdt)
-
     def emit(la_b, z, rgbT4):
         """acc += (alpha * exp(z)) @ rgb, with alpha = 1 - exp(la).
 
@@ -308,7 +327,7 @@ def _render_kernel_v3(
             [pay_vmem[g * U + u] for u in range(U)], axis=1)    # (PW, US)
         lane_blk = jax.lax.broadcasted_iota(jnp.int32, (1, US), 1) // S
         live_v = (k * U + lane_blk) < nb                        # (1, US)
-        F_all, rgbT, d_cur = eval_payload(pay_all, live_v)
+        F_all, rgbT, d_cur, i_cur = eval_payload(pay_all, live_v)
         if "eval" in ablate:
             la = jnp.full((NPX, US), -0.01, f32)
         else:
@@ -316,15 +335,15 @@ def _render_kernel_v3(
         lac = la.astype(cdt)
         tot = jnp.sum(la, axis=1, keepdims=True)                # (NPX, 1)
 
-        # intra-batch exact order matrix: lane i strictly in front of lane
-        # j by depth, list-order tie-break within a block (blocks2 does not
-        # depth-sort block interiors — this matrix IS the sort)
+        # intra-batch exact order matrix: lane i in front of lane j by
+        # (depth, source idx) lex — blocks2 does not depth-sort block
+        # interiors; this matrix IS the sort, with exact-mode tie semantics
         d_col = d_cur.reshape(US, 1)
+        i_col = i_cur.reshape(US, 1)
         if "cums" in ablate:
             cums = jnp.zeros((NPX, US), f32)
         else:
-            M = ((d_col < d_cur).astype(cdt)
-                 + SAME_LOWER * (d_col == d_cur).astype(cdt))
+            M = lex_front(d_col, i_col, d_cur, i_cur)
             cums = jax.lax.dot_general(
                 lac, M, (((1,), (0,)), ((), ())),
                 preferred_element_type=f32)                     # (NPX, US)
@@ -334,6 +353,7 @@ def _render_kernel_v3(
             pend_rgb[sc] = jnp.concatenate(
                 [rgbT, jnp.zeros((1, US), bf16)], axis=0)
             pend_d[sc] = d_cur
+            pend_i[sc] = i_cur
             pend_z[sc] = cums + cols_v[:, 4:5]
 
         # chain <-> big exchange. Exact in both directions: when a big lane
@@ -359,11 +379,13 @@ def _render_kernel_v3(
             has_big_x = has_big
         @pl.when(strad)
         def _():
-            mask_bc = (d_big.reshape(obig, 1) < d_cur).astype(cdt)
+            i_big = big_i[...]
+            mask_bc = lex_front(d_big.reshape(obig, 1),
+                                i_big.reshape(obig, 1), d_cur, i_cur)
             pend_z[sc] += jax.lax.dot_general(
                 big_la[...], mask_bc, (((1,), (0,)), ((), ())),
                 preferred_element_type=f32)                     # (NPX, US)
-            mask_cb = (d_col < d_big).astype(cdt)               # (US, OBIG)
+            mask_cb = lex_front(d_col, i_col, d_big, i_big)     # (US, OBIG)
             big_z[...] += jax.lax.dot_general(
                 lac, mask_cb, (((1,), (0,)), ((), ())),
                 preferred_element_type=f32)
@@ -382,11 +404,14 @@ def _render_kernel_v3(
         @pl.when(ovl_p)
         def _():
             d_p = pend_d[sp]
-            mf = (d_col < d_p).astype(cdt)                      # (USc, USp)
+            i_p = pend_i[sp]
+            mf = lex_front(d_col, i_col, d_p, i_p)              # (USc, USp)
             pend_z[sp] += jax.lax.dot_general(
                 lac, mf, (((1,), (0,)), ((), ())),
                 preferred_element_type=f32)
-            mb = (d_p.reshape(US, 1) >= d_cur).astype(cdt)      # (USp, USc)
+            # prev mass NOT in front of each current lane (1 - lex)
+            mb = 1.0 - lex_front(d_p.reshape(US, 1),
+                                 i_p.reshape(US, 1), d_cur, i_cur)
             pend_z[sc] -= jax.lax.dot_general(
                 pend_la[sp], mb, (((1,), (0,)), ((), ())),
                 preferred_element_type=f32)
@@ -557,10 +582,12 @@ def render_tiles_v3(
             pltpu.VMEM((2, NPX, US), cdt),             # pend_la
             pltpu.VMEM((2, 4, US), jnp.bfloat16),      # pend_rgb
             pltpu.VMEM((2, 1, US), jnp.float32),       # pend_d
+            pltpu.VMEM((2, 1, US), jnp.int32),         # pend_i
             pltpu.VMEM((NPX, obig), jnp.float32),      # big_z
             pltpu.VMEM((NPX, obig), cdt),              # big_la
             pltpu.VMEM((4, obig), jnp.bfloat16),       # big_rgb
             pltpu.VMEM((1, obig), jnp.float32),        # big_d
+            pltpu.VMEM((1, obig), jnp.int32),          # big_i
             pltpu.VMEM((NPX, 8), jnp.float32),         # cols
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2, Un)),

@@ -3,7 +3,7 @@
 The big-splat subset is the fast path's pathological case (any block
 grouping gives whole-scene depth ranges or whole-screen rects), so its
 machinery gets direct unit coverage: extraction completeness vs the
-radius >= BIG_RADIUS ground truth (a round-2 window bug silently dropped
+max(rx, ry) >= BIG_RADIUS ground truth (a round-2 window bug silently dropped
 ~30% of bigs behind culled lanes and only showed up as a 2x render
 regression), per-tile depth order, closest-first truncation, and overflow
 accounting.
@@ -15,6 +15,7 @@ import pytest
 import godotgaussiansplatting_tpu as gs
 from godotgaussiansplatting_tpu.ops.bigbin import bin_bigs
 from godotgaussiansplatting_tpu.ops.blocks import BIG_RADIUS
+from godotgaussiansplatting_tpu.ops.blocks2 import extents_from_conic
 from godotgaussiansplatting_tpu.ops.blocks2 import (DEPTH_INVALID,
                                                     build_block_frame2)
 from godotgaussiansplatting_tpu.ops.pipeline import make_uniforms
@@ -31,13 +32,16 @@ def _project(cloud, cfg):
 
 
 def test_extraction_is_complete_under_capacity():
-    """Every valid radius>=BIG_RADIUS splat must be extracted (residual 0)
+    """Every valid max-extent>=BIG_RADIUS splat must be extracted (residual 0)
     when the capacity allows — bigs left in chains bloat block rects."""
     cloud = gs.mortonize(gs.synthetic_scene(
         60_000, seed=9, extent=3.0, scale_range=(0.02, 0.25)))
     cfg = gs.RasterizerConfig(width=512, height=512)
     prj = _project(cloud, cfg)
-    n_true = int(np.asarray((prj.radius >= BIG_RADIUS) & prj.valid).sum())
+    rx, ry = extents_from_conic(prj.conic[:, 0], prj.conic[:, 1],
+                                prj.conic[:, 2], prj.color[:, 3])
+    n_true = int(np.asarray(
+        (np.maximum(rx, ry) >= BIG_RADIUS) & prj.valid).sum())
     assert n_true > 100, "scene must actually contain big splats"
     bf, bigs = build_block_frame2(prj, cfg, num_splats=cloud.num_splats,
                                   big_cap=max(2048, n_true + 128))
@@ -56,7 +60,10 @@ def test_capacity_overflow_counts_residual():
         60_000, seed=9, extent=3.0, scale_range=(0.02, 0.25)))
     cfg = gs.RasterizerConfig(width=512, height=512)
     prj = _project(cloud, cfg)
-    n_true = int(np.asarray((prj.radius >= BIG_RADIUS) & prj.valid).sum())
+    rx, ry = extents_from_conic(prj.conic[:, 0], prj.conic[:, 1],
+                                prj.conic[:, 2], prj.color[:, 3])
+    n_true = int(np.asarray(
+        (np.maximum(rx, ry) >= BIG_RADIUS) & prj.valid).sum())
     bf, bigs = build_block_frame2(prj, cfg, num_splats=cloud.num_splats,
                                   big_cap=256)
     n_taken = int(np.asarray(bigs.valid).sum())
