@@ -78,6 +78,9 @@ def _render_kernel_v3(
     rows_hbm,        # (T, 8, 128) i32 ANY — packed per-tile rows
     payload_hbm,     # (B, PW, S) f32 ANY — per-block chain payload
     bigpay_hbm,      # (T, PW, OBIG) f32 ANY — per-tile big-lane payload
+    pixf_b_ref,      # (NPX, 8) bf16 VMEM — static pixel features (hi)
+    pixf_lo_ref,     # (NPX, 8) bf16 VMEM — lo half (zeros at tile<=16)
+    lt_ob_ref,       # (OBIG, OBIG) cdt VMEM — strict lower-triangle mask
     out_ref,         # (1, NPX, OUT_CH) f32
     row_smem,        # SMEM (2, 8, 128) i32
     meta,            # SMEM (4,) i32 — [prev_bmin, prev_bmax, big_bucket_mask]
@@ -112,15 +115,38 @@ def _render_kernel_v3(
     t = pl.program_id(0)
     slot_r = jax.lax.rem(t, 2)
 
+    def srow(pos, base, slot):
+        k = pos + base * 128
+        return row_smem[slot, k // 128, jax.lax.rem(k, 128)]
+
+    def block_id(pos, slot):
+        return srow(pos, 1, slot) & 0x7FFFFF
+
+    def start_batch0(slot):
+        """Start batch-0 chain DMAs for the tile whose rows sit in
+        row_smem[slot] (into ring group 0 / sems[0, u])."""
+        nb_s = row_smem[slot, 0, 0]
+        for u in range(U):
+            @pl.when(u < nb_s)
+            def _(u=u):
+                pltpu.make_async_copy(
+                    payload_hbm.at[block_id(u, slot)], pay_vmem.at[u],
+                    sems.at[0, u]).start()
+
     # --- tile-row + big-payload double buffering ----------------------------
+    # Invariant at the top of tile t>0: row_smem[slot_r] was already WAITED
+    # at the END of tile t-1, and this tile's batch-0 chain DMAs are already
+    # in flight (started from tile t-1's tail) — batch-0 DMA latency is
+    # hidden behind the previous tile's drain + this tile's big pre-pass.
     @pl.when(t == 0)
     def _():
         pltpu.make_async_copy(rows_hbm.at[0], row_smem.at[0],
                               row_sems.at[0]).start()
         pltpu.make_async_copy(bigpay_hbm.at[0], big_vmem.at[0],
                               big_sems.at[0]).start()
-    pltpu.make_async_copy(rows_hbm.at[0], row_smem.at[slot_r],
-                          row_sems.at[slot_r]).wait()
+        pltpu.make_async_copy(rows_hbm.at[0], row_smem.at[0],
+                              row_sems.at[0]).wait()
+        start_batch0(0)
     pltpu.make_async_copy(bigpay_hbm.at[0], big_vmem.at[slot_r],
                           big_sems.at[slot_r]).wait()
     @pl.when(t + 1 < num_tiles)
@@ -137,27 +163,13 @@ def _render_kernel_v3(
     nbig = row_smem[slot_r, 0, 4]
     has_big = nbig > 0
 
-    def srow(pos, base):
-        k = pos + base * 128
-        return row_smem[slot_r, k // 128, jax.lax.rem(k, 128)]
-
-    def block_id(pos):
-        return srow(pos, 1) & 0x7FFFFF
-
     def block_mm(pos):
-        w = srow(pos, 3)
+        w = srow(pos, 3, slot_r)
         return (w >> 16) & 0xFFFF, w & 0xFFFF
 
-    # --- shared pixel features (tile-local coordinates) ---------------------
-    pix = jax.lax.broadcasted_iota(jnp.int32, (NPX, 1), 0)
+    # --- shared pixel features (tile-local; static, pipelined in once) ------
     tile_x = (jax.lax.rem(t, gx) * tile_size).astype(f32)
     tile_y = ((t // gx) * tile_size + y_off).astype(f32)
-    pxl = jax.lax.rem(pix, tile_size).astype(f32)
-    pyl = (pix // tile_size).astype(f32)
-    ones_px = jnp.ones((NPX, 1), f32)
-    pixf = jnp.concatenate(
-        [ones_px, pxl, pyl, pxl * pxl, pyl * pyl, pxl * pyl,
-         ones_px, jnp.zeros((NPX, 1), f32)], axis=1)            # (NPX, 8)
     tsz = float(tile_size)
 
     def eval_payload(pay, live):
@@ -210,9 +222,8 @@ def _render_kernel_v3(
     # six; Mosaic does not lower Precision.HIGH). At tile_size 32 entries
     # reach 961 (> 256, inexact in bf16): pixf gets its own lo half and a
     # third pass keeps the same accuracy.
-    pixf_b = pixf.astype(bf16)
-    pixf_lo = ((pixf - pixf_b.astype(f32)).astype(bf16)
-               if tile_size > 16 else None)
+    pixf_b = pixf_b_ref[...]
+    pixf_lo = pixf_lo_ref[...] if tile_size > 16 else None
 
     def mm_power(F_all):
         Fh = F_all.astype(bf16)
@@ -235,11 +246,7 @@ def _render_kernel_v3(
     cols_v[...] = jnp.zeros((NPX, 8), f32)
 
     # --- resident big lanes (exact per-tile depth order) --------------------
-    lane_b = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
-    LT_OB = (jax.lax.broadcasted_iota(jnp.int32, (obig, obig), 0)
-             < jax.lax.broadcasted_iota(jnp.int32, (obig, obig), 1)
-             ).astype(cdt)
-    del lane_b
+    LT_OB = lt_ob_ref[...]
 
     @pl.when(has_big)
     def _():
@@ -271,7 +278,7 @@ def _render_kernel_v3(
             jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0))
         meta[2] = jnp.sum(hit_b * pw2)
 
-    # --- chain batch ring ---------------------------------------------------
+    # --- chain batch ring (batch 0 was pre-started from the previous tile) --
     def start_batch(k):
         for u in range(U):
             pos = k * U + u
@@ -279,7 +286,7 @@ def _render_kernel_v3(
             def _(u=u, pos=pos):
                 slot = jax.lax.rem(k, 2) * U + u
                 pltpu.make_async_copy(
-                    payload_hbm.at[block_id(pos)], pay_vmem.at[slot],
+                    payload_hbm.at[block_id(pos, slot_r)], pay_vmem.at[slot],
                     sems.at[jax.lax.rem(k, 2), u]).start()
 
     def wait_batch(k):
@@ -291,8 +298,6 @@ def _render_kernel_v3(
                     payload_hbm.at[0],
                     pay_vmem.at[jax.lax.rem(k, 2) * U + u],
                     sems.at[jax.lax.rem(k, 2), u]).wait()
-
-    start_batch(jnp.int32(0))
 
     def emit(la_b, z, rgbT4):
         """acc += (alpha * exp(z)) @ rgb, with alpha = 1 - exp(la).
@@ -443,6 +448,14 @@ def _render_kernel_v3(
     k_end = jax.lax.while_loop(cond, body, jnp.int32(0))
     wait_batch(k_end)   # drain the in-flight batch
 
+    # prefetch the NEXT tile's batch 0 now: its rows arrived during this
+    # tile (started at the top), and the emits/present below hide the DMA
+    @pl.when(t + 1 < num_tiles)
+    def _():
+        pltpu.make_async_copy(rows_hbm.at[0], row_smem.at[1 - slot_r],
+                              row_sems.at[1 - slot_r]).wait()
+        start_batch0(1 - slot_r)
+
     @pl.when(k_end > 0)
     def _():
         sp = jax.lax.rem(k_end - 1, 2)
@@ -562,6 +575,23 @@ def render_tiles_v3(
         early_exit=early_exit, lowp=lowp, max_batches=max_batches,
         obig=obig, U=Un, ablate=ablate)
 
+    # static per-tile constants, pipelined in ONCE (constant block index):
+    # the pixel-feature matrix (tile-local coordinates, identical for every
+    # tile) and the strict big-lane order triangle
+    ts = cfg.tile_size
+    import numpy as _np
+    pix = _np.arange(NPX)
+    pxl = (pix % ts).astype(_np.float32)
+    pyl = (pix // ts).astype(_np.float32)
+    ones = _np.ones(NPX, _np.float32)
+    pixf_np = _np.stack([ones, pxl, pyl, pxl * pxl, pyl * pyl, pxl * pyl,
+                         ones, _np.zeros(NPX, _np.float32)], axis=1)
+    pixf_b_np = pixf_np.astype(jnp.bfloat16)
+    pixf_lo_np = (pixf_np - pixf_b_np.astype(_np.float32)).astype(
+        jnp.bfloat16)
+    lt_ob_np = (_np.arange(obig)[:, None] < _np.arange(obig)[None, :]).astype(
+        jnp.bfloat16 if lowp else _np.float32)
+
     return pl.pallas_call(
         kern,
         grid=(T,),
@@ -569,6 +599,12 @@ def render_tiles_v3(
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((NPX, 8), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NPX, 8), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((obig, obig), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, NPX, OUT_CH), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -594,7 +630,8 @@ def render_tiles_v3(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(rows, payload, tile_bigs.bigpay)
+    )(rows, payload, tile_bigs.bigpay, jnp.asarray(pixf_b_np),
+      jnp.asarray(pixf_lo_np), jnp.asarray(lt_ob_np))
 
 
 def assemble_image_v3(tiles: jnp.ndarray, cfg: RasterizerConfig):
