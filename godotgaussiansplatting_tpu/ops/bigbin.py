@@ -60,14 +60,19 @@ def bin_bigs(
               & (r[:, 1][None] < sup_y0 + SUPER) & (r[:, 3][None] > sup_y0)
               & bigs.valid[None])                   # (NS, N)
 
-    inf = jnp.uint32(0xFFFFFFFF)
-    key1 = jnp.where(covers, jnp.broadcast_to(bigs.depth16[None], (NS, N)),
-                     inf)
-    lane = jnp.broadcast_to(jnp.arange(N, dtype=jnp.uint32)[None], (NS, N))
-    k1s, cand = jax.lax.sort((key1, lane), dimension=1, num_keys=1,
-                             is_stable=True)
-    k1s, cand = k1s[:, :C1], cand[:, :C1]
-    cand_valid = k1s != inf
+    # The big table is built globally depth-sorted (ops/blocks2: the
+    # extraction sort is stable on depth16 with ascending source order at
+    # ties), so LANE INDEX == (depth, idx) rank: the L1 compaction sorts a
+    # single position key and the compacted positions ARE the front-to-back
+    # candidate lanes. (Round 2 carried (depth16, lane) = 2 operands.)
+    lane_inf = jnp.uint32(N)
+    key1 = jnp.where(covers,
+                     jax.lax.broadcasted_iota(jnp.uint32, (NS, N), 1),
+                     lane_inf)
+    (k1s,) = jax.lax.sort((key1,), dimension=1, num_keys=1, is_stable=True)
+    k1s = k1s[:, :C1]
+    cand_valid = k1s != lane_inf
+    cand = jnp.where(cand_valid, k1s, 0)
     over_l1 = jnp.sum(covers) - jnp.sum(cand_valid)
 
     rects_c = r[cand.astype(jnp.int32)]             # (NS, C1, 4)
@@ -86,14 +91,21 @@ def bin_bigs(
                 & (tyy[:, :, None] < rects_c[:, None, :, 3])
                 & cand_valid[:, None])              # (NS, 64, C1)
 
+    # fold (pos-in-C1, lane) into ONE sort key: pos in the high bits keeps
+    # the front-to-back order, the lane rides in the low 16 bits (big_cap
+    # <= 40960 < 2^16 — guarded in bin_bigs' caller via default_big_cap;
+    # larger caps would need the 2-operand form)
+    assert N <= 0xFFFF, "big_cap beyond 65535 needs a second sort operand"
     pos = jnp.broadcast_to(
         jnp.arange(C1, dtype=jnp.uint32)[None, None], covers_t.shape)
-    key2 = jnp.where(covers_t, pos, jnp.uint32(C1))
-    k2s, sel = jax.lax.sort(
-        (key2, jnp.broadcast_to(cand[:, None], covers_t.shape)),
-        dimension=2, num_keys=1, is_stable=True)
-    hit = k2s[:, :, :OB] != C1
-    sel = jnp.where(hit, sel[:, :, :OB], 0).astype(jnp.int32)
+    key2 = jnp.where(covers_t,
+                     (pos << 16) | jnp.broadcast_to(cand[:, None],
+                                                    covers_t.shape),
+                     jnp.uint32(C1) << 16)
+    (k2s,) = jax.lax.sort((key2,), dimension=2, num_keys=1, is_stable=True)
+    k2s = k2s[:, :, :OB]
+    hit = (k2s >> 16) != C1
+    sel = jnp.where(hit, k2s & 0xFFFF, 0).astype(jnp.int32)
     nbig = jnp.sum(covers_t, axis=2).astype(jnp.int32)
     over_l2 = jnp.sum(jnp.maximum(nbig - OB, 0))
     nbig = jnp.minimum(nbig, OB)

@@ -54,7 +54,18 @@ def bin_blocks2(
     sgy = -(-gy // SUPER)
     NS = sgx * sgy
 
-    r = bf.rect
+    # --- global pre-sort of block metadata by (min,max) depth ---------------
+    # ONE small B-sized sort up front lets the per-supertile L1 compaction
+    # below carry a single POSITION key (ascending position == ascending
+    # depth) instead of 4 payload operands — row-sort cost scales with
+    # operand traffic (see ops/blocks.py), and (NS, C1) candidate gathers
+    # are tiny by comparison.
+    minmax = (bf.min_depth << 16) | (bf.max_depth & 0xFFFF)
+    _, gidx = jax.lax.sort(
+        (minmax, jnp.arange(B, dtype=jnp.uint32)),
+        dimension=0, num_keys=1, is_stable=True)
+    gidx = gidx.astype(jnp.int32)
+    r = bf.rect[gidx]                               # (B, 4), depth-ordered
     nonempty = (r[:, 2] > r[:, 0]) & (r[:, 3] > r[:, 1])
 
     sid = jnp.arange(NS, dtype=jnp.int32)
@@ -67,21 +78,24 @@ def bin_blocks2(
               & nonempty[None])                     # (NS, B)
 
     inf = jnp.uint32(0xFFFFFFFF)
-    minmax = (bf.min_depth << 16) | (bf.max_depth & 0xFFFF)
-    key1 = jnp.where(covers, jnp.broadcast_to(minmax[None], (NS, B)), inf)
+    pos_inf = jnp.uint32(B)
+    key1 = jnp.where(covers,
+                     jax.lax.broadcasted_iota(jnp.uint32, (NS, B), 1),
+                     pos_inf)
+    (k1s,) = jax.lax.sort((key1,), dimension=1, num_keys=1, is_stable=True)
+    k1s = k1s[:, :C1]
+    cand_valid = k1s != pos_inf                     # (NS, C1)
+    cpos = jnp.where(cand_valid, k1s, 0).astype(jnp.int32)
+    cand_gidx = gidx[cpos]                          # (NS, C1) block ids
     ru = r.astype(jnp.uint32)
-    rect_p = (ru[:, 0] | (ru[:, 1] << 8) | (ru[:, 2] << 16) | (ru[:, 3] << 24))
-    bid_nv = (jnp.arange(B, dtype=jnp.uint32)
-              | (bf.num_valid.astype(jnp.uint32) << 24))
-    ops = jax.lax.sort(
-        (key1,
-         jnp.broadcast_to(bid_nv[None], (NS, B)),
-         jnp.broadcast_to(rect_p[None], (NS, B)),
-         jnp.broadcast_to(bf.bitmap[None], (NS, B))),
-        dimension=1, num_keys=1, is_stable=True)
-    k1s = ops[0][:, :C1]
-    cand_bidnv, cand_rect, cbm = (o[:, :C1] for o in ops[1:])
-    cand_valid = k1s != inf                         # (NS, C1)
+    rect_sorted = (ru[:, 0] | (ru[:, 1] << 8) | (ru[:, 2] << 16)
+                   | (ru[:, 3] << 24))
+    bid_nv_sorted = (cand_gidx.astype(jnp.uint32)
+                     | (bf.num_valid[cand_gidx].astype(jnp.uint32) << 24))
+    cand_bidnv = jnp.where(cand_valid, bid_nv_sorted, inf)
+    cand_rect = rect_sorted[cpos]
+    cbm = bf.bitmap[gidx][cpos]
+    k1s = jnp.where(cand_valid, minmax[cand_gidx], inf)
     n_cover_total = jnp.sum(covers)
     n_kept_l1 = jnp.sum(cand_valid)
 
