@@ -187,9 +187,12 @@ def render_frame_fast_sharded(
 
         prj = project_splats(means, cov3d, opac, sh, uptime,
                              view, proj, cam_pos, model_scale, time, cfg)
-        bf, bigs = build_block_frame2(
-            prj, cfg,                             # local superblocks only
-            num_splats=max(cloud.num_splats // n_tile, 1))
+        # num_splats stays the FULL count: shards hold Morton-contiguous
+        # (spatially local) ranges at full local density, so the adaptive
+        # cell granularity must match single-chip — and when the per-shard
+        # capacity is a whole number of superblocks, shard clustering is
+        # then IDENTICAL to single-chip (tested in tests/test_multichip.py)
+        bf, bigs = build_block_frame2(prj, cfg, num_splats=cloud.num_splats)
 
         # --- block exchange: local blocks -> owning slabs ------------------
         r = bf.rect                               # (B_loc, 4) global tiles
@@ -239,12 +242,22 @@ def render_frame_fast_sharded(
         bins = bin_blocks2(pool, slab_cfg, supertile_cap=supertile_cap,
                            tile_cap=tile_cap, tile_row_offset=y0)
         # big lanes: every shard extracted its local bigs; gather the whole
-        # set (small — ~0.5% of splats) and bin this slab's tiles from it
+        # set (small — ~0.5% of splats), then RE-SORT it by (depth16, idx):
+        # ops/bigbin.py's compaction keys on table POSITION, which must be
+        # the global front-to-back rank (each shard's table is only locally
+        # sorted)
         def ag(x):
             return jax.lax.all_gather(x, "tile", tiled=True)
+        d_all = ag(bigs.depth16)
+        tbl_all = ag(bigs.table)
+        idx_all = jax.lax.bitcast_convert_type(tbl_all[:, 13], jnp.uint32)
+        _, _, order = jax.lax.sort(
+            (d_all, idx_all,
+             jnp.arange(d_all.shape[0], dtype=jnp.int32)),
+            dimension=0, num_keys=2, is_stable=True)
         bigs_all = type(bigs)(
-            table=ag(bigs.table), depth16=ag(bigs.depth16),
-            rect=ag(bigs.rect), valid=ag(bigs.valid),
+            table=tbl_all[order], depth16=d_all[order],
+            rect=ag(bigs.rect)[order], valid=ag(bigs.valid)[order],
             residual=jax.lax.psum(bigs.residual, "tile"))
         tile_bigs = bin_bigs(bigs_all, slab_cfg, tile_row_offset=y0)
         tiles = render_tiles_v3(
