@@ -8,10 +8,17 @@ Variants, each one PSNR against the baseline exact frame:
               judged against this, not against 'inf'
   fast        shipped fast path
   fast-noexit early_exit disabled (isolates the batch-granular exit)
-  fast-caps   supertile_cap 2048 / tile_cap 512 (isolates binning truncation)
+  fast-caps   supertile_cap 2048 (isolates supertile binning truncation;
+              tile_cap stays 256 — the row packing limit)
   fast-ob256  big_tile_capacity 256 (isolates big-lane truncation)
 
-Usage: python benchmarks/fidelity_probe.py [n_splats]
+With `corr` as a second argument, per-splat colors are replaced by a
+SMOOTH function of position (realistic scenes have spatially correlated
+color; the benchmark scene's per-splat uniform-random DC makes every
+ordering difference maximally visible, which is what the exact-rev
+envelope quantifies).
+
+Usage: python benchmarks/fidelity_probe.py [n_splats] [corr]
 """
 
 import os
@@ -36,8 +43,23 @@ def main():
     from godotgaussiansplatting_tpu.ops.fast_pipeline import render_frame_fast
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 5_800_000
+    corr = len(sys.argv) > 2 and sys.argv[2] == "corr"
     cfg = gs.RasterizerConfig(width=1920, height=1080, quality="fast")
     cloud = get_cloud(n)
+    if corr:
+        # smooth position-driven DC color, zero higher-order SH (host-side,
+        # then one upload — device round-trips through the tunnel are slow)
+        import dataclasses
+        m = np.asarray(cloud.means)
+        dc = 0.5 + 0.45 * np.stack([
+            np.sin(1.3 * m[:, 0]) * np.cos(0.7 * m[:, 2]),
+            np.sin(1.1 * m[:, 1] + 2.0),
+            np.cos(0.9 * m[:, 0] + 0.5 * m[:, 1]),
+        ], axis=1).astype(np.float32)
+        sh = np.zeros_like(np.asarray(cloud.sh))
+        sh[:, 0] = dc
+        cloud = dataclasses.replace(cloud, sh=jnp.asarray(sh))
+        print("correlated-color variant", flush=True)
     cam = gs.orbit_trajectory(1, radius=5.0, target=(0, 0, 6.0))[0]
     uni = make_uniforms(cam, cfg)
 
@@ -76,7 +98,7 @@ def main():
     variants = [
         ("fast", dict()),
         ("fast-noexit", dict(early_exit=False)),
-        ("fast-caps", dict(supertile_cap=2048, tile_cap=512)),
+        ("fast-caps", dict(supertile_cap=2048)),
         ("fast-ob256", dict(obig=256)),
     ]
     for name, kw in variants:

@@ -49,6 +49,7 @@ def render_frame_fast(
     lowp: bool = True,
     obig: int | None = None,
     interpret: bool = False,
+    batch_u: int | None = None,
 ) -> FastFrameOutput:
     prj = project_splats(
         cloud.means, cloud.cov3d, cloud.opacity, cloud.sh, cloud.upload_time,
@@ -72,7 +73,8 @@ def render_frame_fast(
         tuple(tile_bigs)))
     tiles = render_tiles_v3(
         bf.payload, bins, tile_bigs, uniforms.heatmap_factor, cfg,
-        early_exit=early_exit, lowp=lowp, interpret=interpret)
+        early_exit=early_exit, lowp=lowp, interpret=interpret,
+        batch_u=batch_u)
     image, t_final = assemble_image_v3(tiles, cfg)
     stats = FrameStats(
         num_pairs=bf.num_culled_pairs,

@@ -56,7 +56,18 @@ def emit_and_sort(
     max_t = cfg.max_tiles_per_splat
 
     nt_capped = jnp.minimum(num_tiles, max_t)
-    overflow = jnp.sum(num_tiles - nt_capped)
+    gcap = cfg.giant_splat_capacity
+    if gcap:
+        # Splats whose rect exceeds the cap leave the capped loop entirely
+        # and emit DENSELY over their full rect below (the reference never
+        # drops pairs; without this the cap-32 default truncated 1.7% of
+        # all pairs at the 5.8M/1080p headline — a systematic luminance
+        # deficit). Only the first `gcap` giants (in splat order) are taken;
+        # the rest keep the truncated capped-loop emission.
+        is_giant = proj_valid & (num_tiles > max_t)
+        grank = jnp.cumsum(is_giant.astype(jnp.int32)) - 1  # exclusive rank
+        g_taken = is_giant & (grank < gcap)
+        nt_capped = jnp.where(g_taken, 0, nt_capped)
     offsets = jnp.cumsum(nt_capped) - nt_capped          # exclusive prefix
     total = offsets[-1] + nt_capped[-1] if P else jnp.int32(0)
 
@@ -87,6 +98,40 @@ def emit_and_sort(
         return keys, vals
 
     keys, vals = jax.lax.fori_loop(0, max_t, emit, (keys0, vals0))
+
+    if gcap:
+        # --- dense giant emission ------------------------------------------
+        # Compact the taken giants into `gcap` slots, then emit every tile
+        # of each giant's rect with one vectorized (gcap, T) key build +
+        # scatter, appended after the capped-loop pairs. (Pre-sort buffer
+        # position only affects equal-(tile,depth16) tie order, which is
+        # inside the reference's own race-nondeterminism envelope.)
+        T = cfg.num_tiles
+        gdest = jnp.where(g_taken, grank, gcap)
+        gidx = jnp.zeros((gcap,), jnp.int32).at[gdest].set(
+            splat_ids, mode="drop", unique_indices=True)
+        galive = jnp.zeros((gcap,), bool).at[gdest].set(
+            g_taken, mode="drop", unique_indices=True)
+        rect_g = rect[gidx]
+        nt_g = jnp.where(galive, num_tiles[gidx], 0)
+        w_g = jnp.maximum(rect_g[:, 2] - rect_g[:, 0], 1)
+        base_g = rect_g[:, 1] * gx + rect_g[:, 0]
+        d_g = depth16[gidx]
+        goff = total + (jnp.cumsum(nt_g) - nt_g)
+        tt = jax.lax.broadcasted_iota(jnp.int32, (gcap, T), 1)
+        ty = tt // w_g[:, None]
+        tx = tt - ty * w_g[:, None]
+        tile_g = (base_g[:, None] + ty * gx + tx).astype(jnp.uint32)
+        key_g = (tile_g << 16) | d_g[:, None]
+        live_g = tt < nt_g[:, None]
+        dest_g = jnp.where(live_g, goff[:, None] + tt, k_max)
+        keys = keys.at[dest_g.reshape(-1)].set(
+            key_g.reshape(-1), mode="drop", unique_indices=True)
+        vals = vals.at[dest_g.reshape(-1)].set(
+            jnp.broadcast_to(gidx[:, None], (gcap, T)).reshape(-1),
+            mode="drop", unique_indices=True)
+        total = total + jnp.sum(nt_g)
+    overflow = jnp.sum(num_tiles) - total
 
     skeys, svals = jax.lax.sort_key_val(keys, vals, is_stable=True)
     return SortedPairs(keys=skeys, values=svals,

@@ -74,3 +74,43 @@ def test_model_scale_and_fade_in():
             np.asarray(uni.camera_pos), cfg, model_scale=ms, time=t)
         out = render_frame_jit(cloud, uni, cfg, tile_capacity=512)
         np.testing.assert_allclose(np.asarray(out.image), ref_img, atol=1e-3)
+
+
+def test_giant_splat_dense_emission():
+    """Splats whose rect exceeds max_tiles_per_splat emit densely (no pair
+    truncation) when giant_splat_capacity covers them — the oracle never caps,
+    so pair counts and pixels must match exactly (ops/sort.py giant path)."""
+    base = dict(width=128, height=96)
+    cloud = synthetic_scene(60, seed=5, extent=1.5, scale_range=(0.2, 0.9))
+    cam = Camera.reset_pose()
+
+    # Tiny per-splat cap forces most splats into the giant path.
+    cfg = RasterizerConfig(**base, max_tiles_per_splat=4,
+                           giant_splat_capacity=64)
+    uni = make_uniforms(cam, cfg)
+    ref_img, info = oracle_render(
+        cloud, np.asarray(uni.view), np.asarray(uni.proj),
+        np.asarray(uni.camera_pos), cfg)
+    out = render_frame_jit(cloud, uni, cfg, tile_capacity=512)
+    assert int(out.stats.num_overflow) == 0
+    assert int(out.stats.num_pairs) == info["num_pairs"]
+    np.testing.assert_allclose(np.asarray(out.image), ref_img, atol=1e-3,
+                               rtol=0)
+
+    # gcap=0 restores the truncating cap: pairs drop and overflow is counted.
+    cfg0 = RasterizerConfig(**base, max_tiles_per_splat=4,
+                            giant_splat_capacity=0)
+    out0 = render_frame_jit(cloud, make_uniforms(cam, cfg0), cfg0,
+                            tile_capacity=512)
+    assert int(out0.stats.num_overflow) > 0
+    assert (int(out0.stats.num_pairs) + int(out0.stats.num_overflow)
+            == info["num_pairs"])
+
+    # Capacity smaller than the giant count: excess giants truncate but are
+    # still counted, never silently lost.
+    cfg1 = RasterizerConfig(**base, max_tiles_per_splat=4,
+                            giant_splat_capacity=2)
+    out1 = render_frame_jit(cloud, make_uniforms(cam, cfg1), cfg1,
+                            tile_capacity=512)
+    assert (int(out1.stats.num_pairs) + int(out1.stats.num_overflow)
+            == info["num_pairs"])
