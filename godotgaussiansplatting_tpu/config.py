@@ -74,9 +74,11 @@ class RasterizerConfig:
     # None = auto (ops/blocks2.default_big_cap). Bigs beyond it stay in their
     # chains (order-degraded, never dropped).
     big_capacity: Optional[int] = None
-    # Fast path: resident big lanes per tile (per-tile exact depth lists,
-    # ops/bigbin.py). Tiles with more keep the CLOSEST lanes; the dropped
-    # far tail is counted in FrameStats.num_overflow.
+    # Fast path: resident big lanes per render group (GROUP horizontally
+    # contiguous tiles sharing one exact depth list, ops/bigbin.py; GROUP=1
+    # measured optimal). Groups with more keep the CLOSEST lanes; the
+    # dropped far tail is counted in FrameStats.num_overflow. Must be a
+    # multiple of 128 (Mosaic DMA slices along lanes require 128 alignment).
     big_tile_capacity: int = 128
 
     @property

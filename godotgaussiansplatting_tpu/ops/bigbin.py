@@ -1,17 +1,20 @@
-"""Per-tile big-splat lane binning (v3 fast path).
+"""Per-GROUP big-splat lane binning (v3 fast path).
 
-Bins the extracted BigSet lanes (ops/blocks2.py) directly per tile at LANE
+Bins the extracted BigSet lanes (ops/blocks2.py) directly per render GROUP
+(4 horizontally contiguous tiles, the render kernel's grid step) at LANE
 granularity — the reference's own structure (one duplicated sort pair per
 covered tile, gsplat_projection.glsl:161's rect expansion +
 radix_sort_*.glsl's global order) applied to only the ~0.5% big subset
-where block sharing loses. Per tile the result is an exactly depth-sorted,
-100%-occupancy lane list; the render kernel keeps it resident and blends it
-exactly against the chain stream (ops/render_pallas3.py).
+where block sharing loses. Per group the result is an exactly depth-sorted,
+100%-occupancy lane list; the render kernel keeps it resident for its 4
+tiles (ONE shared pre-pass) and blends it exactly against each tile's
+chain stream (ops/render_pallas3.py); a per-lane coverage gate scopes
+lanes to the pixels they actually reach.
 
 Same two-level supertile compaction as ops/binning2.py, keyed by depth16 so
-per-tile lists come out front-to-back. Tiles whose big count exceeds `obig`
-keep the closest `obig` lanes (the dropped tail is the most-occluded; the
-reference never drops — counted in `overflow`).
+per-group lists come out front-to-back. Groups whose big count exceeds
+`obig` keep the closest `obig` lanes (the dropped tail is the
+most-occluded; the reference never drops — counted in `overflow`).
 """
 
 from __future__ import annotations
@@ -26,11 +29,19 @@ from .blocks2 import DEPTH_INVALID, GATE_OFF, PAYLOAD_WIDTH, _CULL_FAR
 from .binning2 import SUPER
 
 
+GROUP = 1  # tiles per render group (horizontal strip; render_pallas3).
+# Measured at the 5.8M/1080p headline: GROUP=4 amortizes per-tile fixed
+# costs (row DMA, present) but the shared big list grows to ~156 lanes/group
+# (vs ~95/tile) and the pre-pass/straddle matmuls then run over 4x the
+# pixels — render regressed 65.5 -> 73.1 ms. The machinery stays
+# parameterized; 1 is the measured optimum.
+
+
 class TileBigs(NamedTuple):
-    bigpay: jnp.ndarray     # (T, PW, OBIG) f32 per-tile gathered lane
+    bigpay: jnp.ndarray     # (TG, PW, OBIG) f32 per-GROUP gathered lane
                             # payloads, front-to-back; dead lanes sanitized
-    tile_nbig: jnp.ndarray  # (T,) i32
-    overflow: jnp.ndarray   # () i32 tile-lane pairs dropped by caps
+    tile_nbig: jnp.ndarray  # (TG,) i32 per-group live lane count
+    overflow: jnp.ndarray   # () i32 group-lane pairs dropped by caps
 
 
 def bin_bigs(
@@ -40,8 +51,15 @@ def bin_bigs(
     supertile_cap: int = 2048,
     tile_row_offset=0,
 ) -> TileBigs:
+    """Per-GROUP big-lane lists: the render kernel processes GROUP=4
+    horizontally contiguous tiles per grid step and shares ONE resident big
+    list across them (amortizing the per-tile pre-pass that dominated the
+    single-tile kernel), so lanes are binned per 4x1-tile window. Lanes
+    covering any tile of the group are included; the kernel's per-lane
+    coverage gate scopes them to the pixels they actually reach."""
     gx, gy = cfg.tile_dims
-    T = gx * gy
+    gx2 = -(-gx // GROUP)
+    TG = gx2 * gy
     N = bigs.table.shape[0]
     C1 = min(supertile_cap, N)
     OB = min(obig, C1)
@@ -77,19 +95,23 @@ def bin_bigs(
 
     rects_c = r[cand.astype(jnp.int32)]             # (NS, C1, 4)
 
-    lx = jnp.arange(SUPER, dtype=jnp.int32)
-    tgx = ssx[:, 0][:, None] * SUPER + lx[None]
-    tgy = ssy[:, 0][:, None] * SUPER + lx[None] + tile_row_offset
-    txx = jnp.broadcast_to(tgx[:, None, :], (NS, SUPER, SUPER))
-    tyy = jnp.broadcast_to(tgy[:, :, None], (NS, SUPER, SUPER))
-    txx = txx.reshape(NS, SUPER * SUPER)
-    tyy = tyy.reshape(NS, SUPER * SUPER)
+    # group windows inside the supertile: SUPER/GROUP x-strips per row
+    GPR = SUPER // GROUP                            # groups per tile row
+    NGS = SUPER * GPR                               # group windows / supertile
+    gxi = jnp.arange(GPR, dtype=jnp.int32)
+    gyi = jnp.arange(SUPER, dtype=jnp.int32)
+    wx0 = ssx[:, 0][:, None] * SUPER + gxi[None] * GROUP     # (NS, GPR)
+    wy = ssy[:, 0][:, None] * SUPER + gyi[None] + tile_row_offset
+    wxx = jnp.broadcast_to(wx0[:, None, :], (NS, SUPER, GPR))
+    wyy = jnp.broadcast_to(wy[:, :, None], (NS, SUPER, GPR))
+    wxx = wxx.reshape(NS, NGS)
+    wyy = wyy.reshape(NS, NGS)
 
-    covers_t = ((rects_c[:, None, :, 0] <= txx[:, :, None])
-                & (txx[:, :, None] < rects_c[:, None, :, 2])
-                & (rects_c[:, None, :, 1] <= tyy[:, :, None])
-                & (tyy[:, :, None] < rects_c[:, None, :, 3])
-                & cand_valid[:, None])              # (NS, 64, C1)
+    covers_t = ((rects_c[:, None, :, 0] < wxx[:, :, None] + GROUP)
+                & (wxx[:, :, None] < rects_c[:, None, :, 2])
+                & (rects_c[:, None, :, 1] <= wyy[:, :, None])
+                & (wyy[:, :, None] < rects_c[:, None, :, 3])
+                & cand_valid[:, None])              # (NS, NGS, C1)
 
     # fold (pos-in-C1, lane) into ONE sort key: pos in the high bits keeps
     # the front-to-back order, the lane rides in the low 16 bits (big_cap
@@ -112,16 +134,16 @@ def bin_bigs(
 
     def to_tiles(a):
         extra = a.shape[2:] if a.ndim > 2 else ()
-        a = a.reshape(sgy, sgx, SUPER, SUPER, *extra)
+        a = a.reshape(sgy, sgx, SUPER, GPR, *extra)
         a = jnp.moveaxis(a, 2, 1)
-        a = a.reshape(sgy * SUPER, sgx * SUPER, *extra)
-        return a[:gy, :gx].reshape(T, *extra)
+        a = a.reshape(sgy * SUPER, sgx * GPR, *extra)
+        return a[:gy, :gx2].reshape(TG, *extra)
 
-    sel_t = to_tiles(sel)                           # (T, OB)
-    hit_t = to_tiles(hit)                           # (T, OB)
+    sel_t = to_tiles(sel)                           # (TG, OB)
+    hit_t = to_tiles(hit)                           # (TG, OB)
 
-    tp = bigs.table[sel_t.reshape(-1)]              # (T*OB, PW)
-    tp = tp.reshape(T, OB, PAYLOAD_WIDTH).transpose(0, 2, 1)  # (T, PW, OB)
+    tp = bigs.table[sel_t.reshape(-1)]              # (TG*OB, PW)
+    tp = tp.reshape(TG, OB, PAYLOAD_WIDTH).transpose(0, 2, 1)  # (TG, PW, OB)
     dead = jnp.array(
         [GATE_OFF] + [0.0] * 8
         + [_CULL_FAR, _CULL_FAR, 0.0, DEPTH_INVALID, 0.0, 0.0, 0.0],

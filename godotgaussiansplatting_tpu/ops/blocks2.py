@@ -34,7 +34,10 @@ blocks and BigSet lane tables):
     11     rx|ry   anisotropic coverage half-widths as a bf16 bit-pair
                     (extents_from_conic; invalid: 0) for the per-lane
                     rect-coverage gate
-    12     depth16  as f32; invalid lanes = +BIG (sort to block tail)
+    12     order rank (depth16<<16 | idx>>7)^sign, bitcast i32->f32, for
+                    CHAIN blocks (one-compare ordering in the kernel);
+                    BigSet lane tables keep plain depth16-as-f32 here
+                    (the big pre-pass needs f32 depth for its bucket mask)
     13     idx      source splat index, bitcast u32->f32 (picking)
     14..15 bcx, bcy feature center (per-block mean for chains; per-lane
                     round(image_pos) for big lanes)
@@ -361,7 +364,6 @@ def build_block_frame2(prj: ProjectedSplats, cfg: RasterizerConfig,
     b, op = _unpack_f16(blk(s1[6]))
     idx_s = blk(s1[7])
     valid = key_b != inf
-    depth = depth_b.astype(jnp.float32)
     # anisotropic coverage extents, derived from the carried conic/opacity
     # (no extra sort operand)
     rx, ry = extents_from_conic(ca, cb, cc, op)
@@ -395,7 +397,15 @@ def build_block_frame2(prj: ProjectedSplats, cfg: RasterizerConfig,
     iy_p = jnp.where(valid, iy, _CULL_FAR)
     rx_p = jnp.where(valid, rx, 0.0)
     ry_p = jnp.where(valid, ry, 0.0)
-    depth_p = jnp.where(valid, depth, DEPTH_INVALID)
+    # row 12: PACKED ORDER RANK (depth16 << 16 | idx >> 7, sign-flipped for
+    # signed compare), precomputed here so the render kernel's ordering
+    # masks read it with one bitcast instead of rebuilding it per batch.
+    # Invalid lanes carry depth16 0xFFFF -> maximal rank (ordering-inert;
+    # their mass is zero via f0 = GATE_OFF anyway).
+    rank = ((depth_b.astype(jnp.int32) << 16)
+            | ((idx_s.astype(jnp.int32) >> 7) & 0xFFFF)) ^ jnp.int32(
+                -0x80000000)
+    w12 = jax.lax.bitcast_convert_type(rank, jnp.float32)
     idx_f = jax.lax.bitcast_convert_type(idx_s, jnp.float32)
 
     # rows 14/15: the feature center, broadcast per lane (the render kernel
@@ -408,7 +418,7 @@ def build_block_frame2(prj: ProjectedSplats, cfg: RasterizerConfig,
         f0, f1, f2, f3, f4, f5,
         jnp.where(valid, r, 0.0), jnp.where(valid, g, 0.0),
         jnp.where(valid, b, 0.0),
-        ix_p, iy_p, _pack_bf16_pair(rx_p, ry_p), depth_p, idx_f,
+        ix_p, iy_p, _pack_bf16_pair(rx_p, ry_p), w12, idx_f,
         bcx_l, bcy_l,
     ], axis=1)                                                 # (B, 16, S)
 

@@ -187,7 +187,12 @@ def _pick_fast(frame: FastFrameOutput, tile_id, means, model_scale, cfg):
     entry_ok = entries >= 0
     ids = jnp.where(entry_ok, entries & 0x7FFFFF, 0)
     pays = frame.payload[ids]                               # (C2, 16, S)
-    bigp = frame.tile_bigpay[tile_id]                       # (16, OBIG)
+    # big lanes are binned per GROUP of 4 tiles (ops/bigbin.py); the
+    # per-lane coverage test below scopes them back to this tile
+    from .bigbin import GROUP
+    gx2 = -(-gx // GROUP)
+    gid = (tile_id // gx) * gx2 + (tile_id % gx) // GROUP
+    bigp = frame.tile_bigpay[gid]                           # (16, OBIG)
     ix = jnp.concatenate([pays[:, 9].reshape(-1), bigp[9]])
     iy = jnp.concatenate([pays[:, 10].reshape(-1), bigp[10]])
     rw = jax.lax.bitcast_convert_type(
@@ -196,7 +201,15 @@ def _pick_fast(frame: FastFrameOutput, tile_id, means, model_scale, cfg):
         (rw & 0xFFFF).astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32)
     ry = jax.lax.bitcast_convert_type(
         (rw >> 16).astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32)
-    depth = jnp.concatenate([pays[:, 12].reshape(-1), bigp[12]])
+    # chain row 12 is the packed order rank (ops/blocks2.py payload layout);
+    # big tables keep plain depth16-as-f32. Decode both to f32 depth16 with
+    # 0xFFFF as the invalid sentinel.
+    wch = jax.lax.bitcast_convert_type(
+        pays[:, 12].reshape(-1), jnp.uint32) ^ jnp.uint32(0x80000000)
+    d_chain = (wch >> 16).astype(jnp.float32)
+    d_chain = jnp.where(d_chain >= 65535.0, DEPTH_INVALID, d_chain)
+    d_big = jnp.where(bigp[12] >= 65535.0, DEPTH_INVALID, bigp[12])
+    depth = jnp.concatenate([d_chain, d_big])
     idx = jax.lax.bitcast_convert_type(
         jnp.concatenate([pays[:, 13].reshape(-1), bigp[13]]), jnp.uint32)
     lane_ok = jnp.concatenate([

@@ -1,4 +1,5 @@
-"""Pallas TPU render kernel v3: batch-exact compositing + per-tile big lanes.
+"""Pallas TPU render kernel v3: batch-exact compositing + resident big lanes,
+processed as GROUPs of 4 horizontally contiguous tiles per grid step.
 
 TPU-native counterpart of `gsplat_render.glsl` (third generation; supersedes
 ops/render_pallas2.py). Two structural problems of v2 drove this redesign,
@@ -29,23 +30,29 @@ v3 composites CHAIN blocks per batch of U=4 (512 lanes):
              exact window to ±1 batch = ±4 blocks, and are SKIPPED when
              consecutive batches don't overlap in depth — the common case.
 
-and keeps the tile's BIG-SPLAT lanes (ops/bigbin.py: per-tile exact
-depth-sorted lists of the radius>=BIG_RADIUS subset) RESIDENT for the whole
-tile: their mutual order is exact by construction (one in-VMEM prefix
-matmul), and chain<->big occlusion is exchanged per chain block through its
-depth midpoint — each (chain block, big lane) pair interacts in exactly one
-direction, so energy is conserved; the approximation error is bounded by
-the mass of chain blocks whose depth slab straddles a big lane.
+BIG-SPLAT lanes (radius >= BIG_RADIUS) are RESIDENT per tile GROUP
+(ops/bigbin.py: one exactly depth-sorted lane list per 4x1-tile window):
+their mutual order is exact by construction (one in-VMEM prefix matmul over
+all G*NPX group pixels), and chain<->big occlusion is exchanged per chain
+batch — each (chain block, big lane) pair interacts in exactly one
+direction, so energy is conserved. Early exit measured only 8% of binned
+blocks actually processed at the headline, which made PER-TILE FIXED COSTS
+(row/big DMA waits, the big pre-pass, present) the frame floor — grouping
+amortizes exactly those: one rows DMA, one big pre-pass, one final big
+emit, one present per 4 tiles, while the chain stream stays per-tile.
 
-All in-window ordering — including equal-depth16 ties — follows (depth16,
-source index) lexicographic order, which IS the exact pipeline's semantics
-(its stable pair sort breaks ties by emission order; the reference's GPU
-sort races instead, SURVEY.md §2.1). Residual deviation vs a full global
-sort: chain blocks >= 2 batches apart with overlapping depth ranges, and
-per-tile big lists truncated at OBIG (closest-first; counted upstream).
+All in-window ordering follows a packed 32-bit rank (depth16 << 16 |
+source idx >> 7): one vector compare per mask, matching the exact
+pipeline's (depth16, emission order) tie semantics at 128-splat idx
+granularity (its stable pair sort breaks ties by source index; the
+reference's GPU sort races instead, SURVEY.md §2.1 — equal ranks get no
+mutual occlusion, which is energy-conserving and inside that envelope).
+Residual deviation vs a full global sort: chain blocks >= 2 batches apart
+with overlapping depth ranges, and per-group big lists truncated at OBIG
+(closest-first; counted upstream).
 The per-pixel early-out (gsplat_render.glsl:79) is applied at batch
-granularity and accounts for resident big mass in front of the stream
-position.
+granularity per tile and accounts for resident big mass in front of the
+stream position.
 """
 
 from __future__ import annotations
@@ -58,6 +65,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RasterizerConfig
+from .bigbin import GROUP
 from .blocks2 import BLOCK_SIZE, DEPTH_INVALID, GATE_OFF, PAYLOAD_WIDTH
 
 OUT_CH = 8         # output channels per pixel: r, g, b, 1, t_final, diag...
@@ -75,112 +83,160 @@ def default_batch_u(tile_size: int) -> int:
 
 
 def _render_kernel_v3(
-    rows_hbm,        # (T, 8, 128) i32 ANY — packed per-tile rows
+    rows_hbm,        # (TG, G*8, 128) i32 ANY — packed per-group tile rows
     payload_hbm,     # (B, PW, S) f32 ANY — per-block chain payload
-    bigpay_hbm,      # (T, PW, OBIG) f32 ANY — per-tile big-lane payload
-    pixf_b_ref,      # (NPX, 8) bf16 VMEM — static pixel features (hi)
+    bigpay_hbm,      # (TG, PW, OBIG) f32 ANY — per-group big-lane payload
+    bigla_hbm,       # (TG, G*NPX, OBIG) cdt ANY — per-group big-lane
+                     # log1p(-alpha) maps, precomputed by prepass_big_la
+                     # (the per-tile eval+power+exp ran for ~98% of tiles
+                     # as ~35 small overhead-bound ops; batched in XLA it
+                     # is throughput-bound)
+    pixf_b_ref,      # (NPX, 8) bf16 VMEM — tile-local pixel features (hi)
     pixf_lo_ref,     # (NPX, 8) bf16 VMEM — lo half (zeros at tile<=16)
     lt_ob_ref,       # (OBIG, OBIG) cdt VMEM — strict lower-triangle mask
-    out_ref,         # (1, NPX, OUT_CH) f32
-    row_smem,        # SMEM (2, 8, 128) i32
-    meta,            # SMEM (4,) i32 — [prev_bmin, prev_bmax, big_bucket_mask]
-    pay_vmem,        # VMEM (2*U, PW, S) f32 — chain batch ring
+    out_ref,         # (1, G*NPX, OUT_CH) f32
+    row_smem,        # SMEM (2, G*8, 128) i32
+    meta,            # SMEM (6,) i32 — [prev_bmin, prev_bmax, big_bucket_mask
+                     # lo, hi (32 x 2048-depth buckets), exit_flag]
+    pay_vmem,        # VMEM (2, PW, U*S) f32 — chain batch ring (each block
+                     # DMAs into its lane offset; the batch is one slab)
     big_vmem,        # VMEM (2, PW, OBIG) f32 — big payload ring
+    bigla_vmem,      # VMEM (2, G*NPX, OBIG) cdt — big la-map ring (read
+                     # in place; never copied to a scratch)
     pend_z,          # VMEM (2, NPX, US) f32
+    pend_c,          # VMEM (2, NPX, 1) f32 — per-pixel z column (carry +
+                     # uniform big front mass), added at emit time
     pend_la,         # VMEM (2, NPX, US) cdt
     pend_rgb,        # VMEM (2, 4, US) bf16
-    pend_d,          # VMEM (2, 1, US) f32
-    pend_i,          # VMEM (2, 1, US) i32 — source idx (lex tie-break)
-    big_z,           # VMEM (NPX, OBIG) f32
-    big_la,          # VMEM (NPX, OBIG) cdt
+    pend_w,          # VMEM (2, 1, US) i32 — packed order rank
+    big_z,           # VMEM (G*NPX, OBIG) f32
     big_rgb,         # VMEM (4, OBIG) bf16
     big_d,           # VMEM (1, OBIG) f32
-    big_i,           # VMEM (1, OBIG) i32
-    cols_v,          # VMEM (NPX, 8) f32 — one lane-padded buffer holding all
-                     # per-pixel column state: [acc r,g,b,-, tcar, texit,
-                     # big_tot, -] (separate (NPX,1) scratches each pad to
-                     # 128 lanes = 512 KB at tile 32)
+    big_w,           # VMEM (1, OBIG) i32 — packed order rank
+    cols_v,          # VMEM (G*NPX, 8) f32 — per-pixel column state: [acc
+                     # r,g,b,-, tcar, texit, big_tot, diag] (separate (NPX,1)
+                     # scratches each pad to 128 lanes)
     row_sems,        # DMA sems (2,)
     sems,            # DMA sems (2, U)
     big_sems,        # DMA sems (2,)
-    *, gx: int, tile_size: int, num_tiles: int, early_exit: bool,
+    bigla_sems,      # DMA sems (2,)
+    *, gx2: int, tile_size: int, num_groups: int, early_exit: bool,
     lowp: bool, max_batches: int, obig: int, U: int, ablate: str = "",
 ):
     S = BLOCK_SIZE
     US = U * S
+    G = GROUP
     NPX = tile_size * tile_size
+    NPXG = G * NPX
     f32 = jnp.float32
     bf16 = jnp.bfloat16
     cdt = bf16 if lowp else f32
     t = pl.program_id(0)
     slot_r = jax.lax.rem(t, 2)
 
-    def srow(pos, base, slot):
+    def srow(pos, base, slot, g):
         k = pos + base * 128
-        return row_smem[slot, k // 128, jax.lax.rem(k, 128)]
+        return row_smem[slot, g * 8 + k // 128, jax.lax.rem(k, 128)]
 
-    def block_id(pos, slot):
-        return srow(pos, 1, slot) & 0x7FFFFF
+    def block_id(pos, slot, g):
+        return srow(pos, 1, slot, g) & 0x7FFFFF
 
-    def start_batch0(slot):
-        """Start batch-0 chain DMAs for the tile whose rows sit in
-        row_smem[slot] (into ring group 0 / sems[0, u])."""
-        nb_s = row_smem[slot, 0, 0]
+    def start_batch0(slot, g):
+        """Start batch-0 chain DMAs for tile g of the group whose rows sit
+        in row_smem[slot] (into ring slot 0 / sems[0, u])."""
+        if "noloop" in ablate:   # ablation: no chain stream at all
+            return
+        nb_s = row_smem[slot, g * 8, 0]
         for u in range(U):
             @pl.when(u < nb_s)
             def _(u=u):
                 pltpu.make_async_copy(
-                    payload_hbm.at[block_id(u, slot)], pay_vmem.at[u],
+                    payload_hbm.at[block_id(u, slot, g)],
+                    pay_vmem.at[0, :, pl.ds(u * S, S)],
                     sems.at[0, u]).start()
 
-    # --- tile-row + big-payload double buffering ----------------------------
-    # Invariant at the top of tile t>0: row_smem[slot_r] was already WAITED
-    # at the END of tile t-1, and this tile's batch-0 chain DMAs are already
-    # in flight (started from tile t-1's tail) — batch-0 DMA latency is
-    # hidden behind the previous tile's drain + this tile's big pre-pass.
+    # --- group-row + big-payload double buffering ---------------------------
+    # Invariant at the top of group t>0: row_smem[slot_r] was already WAITED
+    # at the END of group t-1, and tile 0's batch-0 chain DMAs are already
+    # in flight (started from group t-1's tail) — batch-0 DMA latency is
+    # hidden behind the previous group's drain + this group's big pre-pass.
     @pl.when(t == 0)
     def _():
+        # zero the chain ring once: lanes beyond a tile's nb are read by the
+        # batch matmuls before any DMA ever wrote them (gated to zero mass,
+        # but uninitialized VMEM can hold NaN/Inf bit patterns that defeat
+        # the additive gate). Later tiles overwrite with bounded payloads.
+        pay_vmem[...] = jnp.zeros((2, PAYLOAD_WIDTH, US), f32)
         pltpu.make_async_copy(rows_hbm.at[0], row_smem.at[0],
                               row_sems.at[0]).start()
-        pltpu.make_async_copy(bigpay_hbm.at[0], big_vmem.at[0],
-                              big_sems.at[0]).start()
+        if "nobigdma" not in ablate:
+            pltpu.make_async_copy(bigpay_hbm.at[0], big_vmem.at[0],
+                                  big_sems.at[0]).start()
+            pltpu.make_async_copy(bigla_hbm.at[0], bigla_vmem.at[0],
+                                  bigla_sems.at[0]).start()
         pltpu.make_async_copy(rows_hbm.at[0], row_smem.at[0],
                               row_sems.at[0]).wait()
-        start_batch0(0)
-    pltpu.make_async_copy(bigpay_hbm.at[0], big_vmem.at[slot_r],
-                          big_sems.at[slot_r]).wait()
-    @pl.when(t + 1 < num_tiles)
+        start_batch0(0, 0)
+    if "nobigdma" not in ablate:
+        pltpu.make_async_copy(bigpay_hbm.at[0], big_vmem.at[slot_r],
+                              big_sems.at[slot_r]).wait()
+        pltpu.make_async_copy(bigla_hbm.at[0], bigla_vmem.at[slot_r],
+                              bigla_sems.at[slot_r]).wait()
+    @pl.when(t + 1 < num_groups)
     def _():
         pltpu.make_async_copy(rows_hbm.at[t + 1], row_smem.at[1 - slot_r],
                               row_sems.at[1 - slot_r]).start()
-        pltpu.make_async_copy(bigpay_hbm.at[t + 1], big_vmem.at[1 - slot_r],
-                              big_sems.at[1 - slot_r]).start()
+        if "nobigdma" not in ablate:
+            pltpu.make_async_copy(bigpay_hbm.at[t + 1],
+                                  big_vmem.at[1 - slot_r],
+                                  big_sems.at[1 - slot_r]).start()
+            pltpu.make_async_copy(bigla_hbm.at[t + 1],
+                                  bigla_vmem.at[1 - slot_r],
+                                  bigla_sems.at[1 - slot_r]).start()
 
-    nb = row_smem[slot_r, 0, 0]
-    cand = row_smem[slot_r, 0, 1]
+    cand0 = row_smem[slot_r, 0, 1]  # noqa: F841 (per-tile cand read below)
     hm_f = row_smem[slot_r, 0, 2].astype(f32) * (1.0 / 65536.0)
     y_off = row_smem[slot_r, 0, 3]
     nbig = row_smem[slot_r, 0, 4]
+    if "bigpre" in ablate or "nobigdma" in ablate:
+        nbig = nbig * 0      # ablation: no resident big lanes at all
     has_big = nbig > 0
 
-    def block_mm(pos):
-        w = srow(pos, 3, slot_r)
+    def block_mm(pos, g):
+        w = srow(pos, 3, slot_r, g)
         return (w >> 16) & 0xFFFF, w & 0xFFFF
 
-    # --- shared pixel features (tile-local; static, pipelined in once) ------
-    tile_x = (jax.lax.rem(t, gx) * tile_size).astype(f32)
-    tile_y = ((t // gx) * tile_size + y_off).astype(f32)
+    # --- shared pixel geometry ----------------------------------------------
+    group_x = (jax.lax.rem(t, gx2) * (G * tile_size)).astype(f32)
+    group_y = ((t // gx2) * tile_size + y_off).astype(f32)
     tsz = float(tile_size)
 
-    def eval_payload(pay, live):
-        """(PW, W) payload -> (F (8,W) tile-centered, rgbT (3,W), d (1,W),
-        i (1,W) source index).
+    def eval_payload(pay, live, ox, oy, span_x, span_y):
+        """(PW, W) CHAIN payload -> (F (8,W) re-centered to (ox, oy),
+        rgbT (3,W), w (1,W) packed order rank).
 
-        live: scalar or (1, W) mask; dead lanes get alpha=0 via GATE_OFF."""
+        live: scalar or (1, W) mask ANDed into the coverage gate; lanes
+        failing it get alpha=0 via the gate row (their other feature rows
+        need no masking: stale ring lanes hold BOUNDED real payloads from
+        earlier blocks and in-block invalid lanes are sanitized upstream,
+        so the single gate row kills their mass). The coverage gate tests
+        the lane's anisotropic rect against the
+        [ox, ox+span_x) x [oy, oy+span_y) pixel window.
+
+        Chain payloads carry the precomputed order rank in row 12
+        (ops/blocks2.py) — one bitcast here. The rank: depth16 in the high
+        16 bits, source idx (at 128-splat granularity) in the low 16,
+        sign-bit-XORed so unsigned order maps onto the VPU's signed i32
+        compare — every ordering mask below is ONE vector compare instead
+        of a (depth, idx) lexicographic chain. Ties get no mutual
+        occlusion — energy-conserving, inside the exact pipeline's idx
+        tie-break envelope (ops/sort.py stable sort). (Big lane tables
+        keep plain depth16-as-f32 in row 12; their eval runs batched in
+        prepass_big_la and their rank is built in the thin pre-pass.)"""
         f0, f1, f2 = pay[0:1, :], pay[1:2, :], pay[2:3, :]
         f3, f4, f5 = pay[3:4, :], pay[4:5, :], pay[5:6, :]
-        dx = tile_x - pay[14:15, :]
-        dy = tile_y - pay[15:16, :]
+        dx = ox - pay[14:15, :]
+        dy = oy - pay[15:16, :]
         f0u = f0 + dx * f1 + dy * f2 + dx * dx * f3 + dy * dy * f4 \
             + dx * dy * f5
         f1u = f1 + 2.0 * dx * f3 + dy * f5
@@ -193,311 +249,371 @@ def _render_kernel_v3(
             (rw & 0xFFFF).astype(jnp.uint16), bf16).astype(f32)
         ryw = jax.lax.bitcast_convert_type(
             (rw >> 16).astype(jnp.uint16), bf16).astype(f32)
-        covered = ((ixr - rxw < tile_x + tsz) & (ixr + rxw > tile_x)
-                   & (iyr - ryw < tile_y + tsz) & (iyr + ryw > tile_y))
+        covered = ((ixr - rxw < ox + span_x) & (ixr + rxw > ox)
+                   & (iyr - ryw < oy + span_y) & (iyr + ryw > oy))
         gate = jnp.where(covered & live, 0.0, GATE_OFF)
         z1 = jnp.zeros((1, pay.shape[1]), f32)
-        F = jnp.concatenate([
-            jnp.where(live, f0u, GATE_OFF),
-            jnp.where(live, f1u, 0.0), jnp.where(live, f2u, 0.0),
-            jnp.where(live, f3, 0.0), jnp.where(live, f4, 0.0),
-            jnp.where(live, f5, 0.0), gate, z1], axis=0)        # (8, W)
-        rgbT = jnp.where(live, pay[6:9, :], 0.0).astype(bf16)   # (3, W)
-        d_row = jnp.where(live, pay[12:13, :], DEPTH_INVALID)   # (1, W)
-        i_row = jax.lax.bitcast_convert_type(pay[13:14, :], jnp.int32)
-        return F, rgbT, d_row, i_row
+        F = jnp.concatenate([f0u, f1u, f2u, f3, f4, f5, gate, z1],
+                            axis=0)                             # (8, W)
+        rgbT = pay[6:9, :].astype(bf16)                         # (3, W)
+        return F, rgbT, jax.lax.bitcast_convert_type(
+            pay[12:13, :], jnp.int32)
 
-    def lex_front(dA, iA, dB, iB):
-        """in-front indicator by (depth, source idx) lexicographic order —
-        the EXACT pipeline's tie semantics: its stable pair sort breaks
-        equal (tile, depth16) keys by emission order = splat index
-        (ops/sort.py; the reference's GPU sort races instead). Arithmetic
-        masks: lt/eq are disjoint, so lt + eq*ilt is their union."""
-        return ((dA < dB).astype(cdt)
-                + (dA == dB).astype(cdt) * (iA < iB).astype(cdt))
+    def w_front(wA, wB):
+        """in-front indicator: packed-rank compare (see eval_payload)."""
+        return (wA < wB).astype(cdt)
 
-    # At tile_size <= 16, pixf entries are small integers (<= 15^2 = 225):
-    # EXACTLY bf16-representable, so splitting only F into hi+lo bf16 halves
-    # gives ~2^-16-relative power accuracy in TWO MXU passes (vs HIGHEST's
-    # six; Mosaic does not lower Precision.HIGH). At tile_size 32 entries
-    # reach 961 (> 256, inexact in bf16): pixf gets its own lo half and a
-    # third pass keeps the same accuracy.
+    # At tile_size <= 16, tile-local pixf entries are small integers
+    # (<= 15^2 = 225): EXACTLY bf16-representable, so splitting only F into
+    # hi+lo bf16 halves gives ~2^-16-relative power accuracy in TWO MXU
+    # passes (vs HIGHEST's six; Mosaic does not lower Precision.HIGH). The
+    # group-local features (and tile-local at tile_size 32) exceed 256, so
+    # they carry their own lo half and a third pass keeps the accuracy.
+    # The hi/lo passes are FUSED into one matmul by stacking the split
+    # halves along the contraction dim: [pb|pb] @ [Fh;Fl] == pb@Fh + pb@Fl
+    # exactly (MXU accumulates in f32). Contraction dims 8/16/24 all pad to
+    # the 128-deep systolic array, so the fused op costs the same as ONE
+    # pass — this removes 1-2 MXU latencies per batch.
     pixf_b = pixf_b_ref[...]
-    pixf_lo = pixf_lo_ref[...] if tile_size > 16 else None
+    if tile_size > 16:
+        pixf_cat = jnp.concatenate(
+            [pixf_b, pixf_b, pixf_lo_ref[...]], axis=1)         # (NPX, 24)
+    else:
+        pixf_cat = jnp.concatenate([pixf_b, pixf_b], axis=1)    # (NPX, 16)
 
     def mm_power(F_all):
         Fh = F_all.astype(bf16)
         Fl = (F_all - Fh.astype(f32)).astype(bf16)
+        parts = [Fh, Fl] + ([Fh] if tile_size > 16 else [])
         P = jax.lax.dot_general(
-            pixf_b, Fh, (((1,), (0,)), ((), ())),
+            pixf_cat, jnp.concatenate(parts, axis=0),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=f32)
-        P = P + jax.lax.dot_general(
-            pixf_b, Fl, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32)
-        if pixf_lo is not None:
-            P = P + jax.lax.dot_general(
-                pixf_lo, Fh, (((1,), (0,)), ((), ())),
-                preferred_element_type=f32)
         alpha = jnp.minimum(jnp.exp(P), ALPHA_MAX)
         la = jnp.log1p(-alpha)
         return alpha, la
 
-    # --- init per-tile state ------------------------------------------------
-    cols_v[...] = jnp.zeros((NPX, 8), f32)
+    # --- init per-group state -----------------------------------------------
+    cols_v[...] = jnp.zeros((NPXG, 8), f32)
 
-    # --- resident big lanes (exact per-tile depth order) --------------------
+    # --- resident big lanes: thin pre-pass over the PRECOMPUTED la map ------
+    # prepass_big_la already ran eval + power matmul + exp for every group
+    # in one batched XLA computation; here only the order-dependent pieces
+    # remain: the intra-big occlusion triangle (one matmul), the rank/rgb/
+    # depth rows, the per-pixel big mass total, and the depth bucket mask.
     LT_OB = lt_ob_ref[...]
 
     @pl.when(has_big)
     def _():
-        F, rgbT, d_row, i_row = eval_payload(big_vmem[slot_r], True)
-        alpha, la = mm_power(F)
-        lac = la.astype(cdt)
-        big_la[...] = lac
-        # intra-big order = list order: the per-tile big list is depth16-
+        lac = bigla_vmem[slot_r]                                # (NPXG, OBIG)
+        # intra-big order = list order: the per-group big list is depth16-
         # sorted with stable (= source idx) ties, i.e. already (d, idx) lex
         big_z[...] = jax.lax.dot_general(
             lac, LT_OB, (((1,), (0,)), ((), ())),
             preferred_element_type=f32)
+        pay = big_vmem[slot_r]
         big_rgb[...] = jnp.concatenate(
-            [rgbT, jnp.zeros((1, obig), bf16)], axis=0)
+            [pay[6:9, :].astype(bf16), jnp.zeros((1, obig), bf16)], axis=0)
+        d_row = pay[12:13, :]
+        i_row = jax.lax.bitcast_convert_type(pay[13:14, :], jnp.int32)
+        d_i = jnp.minimum(d_row, 65535.0).astype(jnp.int32)
         big_d[...] = d_row
-        big_i[...] = i_row
-        cols_v[:, 6:7] = jnp.sum(la, axis=1, keepdims=True)
-        # 16-bucket depth-occupancy bitmask: the per-batch straddle gate
+        big_w[...] = ((d_i << 16) | ((i_row >> 7) & 0xFFFF)) ^ jnp.int32(
+            -0x80000000)
+        cols_v[:, 6:7] = jnp.sum(lac.astype(f32), axis=1, keepdims=True)
+        # 32-bucket depth-occupancy bitmask: the per-batch straddle gate
         # tests it with pure scalar ops — a jnp.any() per batch syncs the
         # scalar core with the VPU every iteration
         bucket = jnp.where(d_row < 0.5 * DEPTH_INVALID,
-                           (d_row * (1.0 / 4096.0)).astype(jnp.int32),
+                           (d_row * (1.0 / 2048.0)).astype(jnp.int32),
                            -1)                                  # (1, OBIG)
-        biot = jax.lax.broadcasted_iota(jnp.int32, (16, obig), 0)
+        biot = jax.lax.broadcasted_iota(jnp.int32, (32, obig), 0)
         hit_b = jnp.max(jnp.where(biot == bucket, 1, 0), axis=1,
-                        keepdims=True)                          # (16, 1)
-        pw2 = jnp.left_shift(
-            jnp.ones((16, 1), jnp.int32),
-            jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0))
-        meta[2] = jnp.sum(hit_b * pw2)
+                        keepdims=True)                          # (32, 1)
+        b32 = jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0)
+        pw2 = jnp.left_shift(jnp.ones((32, 1), jnp.int32),
+                             jnp.bitwise_and(b32, 15))
+        meta[2] = jnp.sum(jnp.where(b32 < 16, hit_b * pw2, 0))
+        meta[3] = jnp.sum(jnp.where(b32 >= 16, hit_b * pw2, 0))
 
-    # --- chain batch ring (batch 0 was pre-started from the previous tile) --
-    def start_batch(k):
+    # --- chain batch ring (shared by the group's tiles; each tile drains
+    # before the next starts, and its batch 0 is prefetched from the
+    # previous tile's tail) ---------------------------------------------------
+    def start_batch(k, nb, g):
         for u in range(U):
             pos = k * U + u
             @pl.when(pos < nb)
             def _(u=u, pos=pos):
-                slot = jax.lax.rem(k, 2) * U + u
                 pltpu.make_async_copy(
-                    payload_hbm.at[block_id(pos, slot_r)], pay_vmem.at[slot],
+                    payload_hbm.at[block_id(pos, slot_r, g)],
+                    pay_vmem.at[jax.lax.rem(k, 2), :, pl.ds(u * S, S)],
                     sems.at[jax.lax.rem(k, 2), u]).start()
 
-    def wait_batch(k):
+    def wait_batch(k, nb):
         for u in range(U):
             pos = k * U + u
             @pl.when(pos < nb)
             def _(u=u, pos=pos):
                 pltpu.make_async_copy(
                     payload_hbm.at[0],
-                    pay_vmem.at[jax.lax.rem(k, 2) * U + u],
+                    pay_vmem.at[jax.lax.rem(k, 2), :, pl.ds(u * S, S)],
                     sems.at[jax.lax.rem(k, 2), u]).wait()
 
-    def emit(la_b, z, rgbT4):
-        """acc += (alpha * exp(z)) @ rgb, with alpha = 1 - exp(la).
+    def emit(la_b, z, rgbT4, rs, zc=None):
+        """acc[rs] += (alpha * exp(z + zc)) @ rgb, with alpha = 1 - exp(la).
 
         Factored as exp(z) - exp(z + la): two exps, no expm1 (which Mosaic
-        does not lower), and no alpha buffer."""
+        does not lower), and no alpha buffer. zc is an optional per-pixel
+        (NPX, 1) z column (transmittance carry + uniform big front mass),
+        deferred to here so the batch body never read-modify-writes the
+        full (NPX, US) pend_z for per-pixel-uniform terms."""
         laf = la_b.astype(f32)
+        if zc is not None:
+            z = z + zc
         w = (jnp.exp(z) - jnp.exp(z + laf)).astype(bf16)
-        cols_v[:, 0:4] += jax.lax.dot_general(
+        cols_v[rs, 0:4] += jax.lax.dot_general(
             w, rgbT4, (((1,), (1,)), ((), ())),
             preferred_element_type=f32)
 
-    def body(k):
-        wait_batch(k)
-        start_batch(k + 1)
-        g = jax.lax.rem(k, 2)
-        sc, sp = g, 1 - g
+    # hoisted constants for the chain loop (per-lane block index at the
+    # batch's lane granularity; rebuilt iotas inside the loop cost a vector
+    # op per batch)
+    lane_blk = jax.lax.broadcasted_iota(jnp.int32, (1, US), 1) // S
 
-        bmin = jnp.int32(0x10000)
-        bmax = jnp.int32(-1)
-        for u in range(U):
-            pos = k * U + u
-            live = pos < nb
-            mn, mx = block_mm(pos)
-            bmin = jnp.where(live, jnp.minimum(bmin, mn), bmin)
-            bmax = jnp.where(live, jnp.maximum(bmax, mx), bmax)
+    def tile_body(g, _carry):
+        nb = row_smem[slot_r, g * 8, 0]
+        if "noloop" in ablate:   # ablation: fixed costs only
+            nb = nb * 0
+        rs = pl.ds(g * NPX, NPX)
+        tile_x = group_x + g.astype(f32) * tsz
 
-        # one concatenated (PW, US) payload: the feature shift then runs as
-        # (1, US)-wide row ops instead of 4x (1, S) — Mosaic's per-op
-        # overhead on tiny vectors dominated the eval cost otherwise
-        pay_all = jnp.concatenate(
-            [pay_vmem[g * U + u] for u in range(U)], axis=1)    # (PW, US)
-        lane_blk = jax.lax.broadcasted_iota(jnp.int32, (1, US), 1) // S
-        live_v = (k * U + lane_blk) < nb                        # (1, US)
-        F_all, rgbT, d_cur, i_cur = eval_payload(pay_all, live_v)
-        if "eval" in ablate:
-            la = jnp.full((NPX, US), -0.01, f32)
-        else:
-            _, la = mm_power(F_all)                             # (NPX, US)
-        lac = la.astype(cdt)
-        tot = jnp.sum(la, axis=1, keepdims=True)                # (NPX, 1)
+        def body(k):
+            wait_batch(k, nb)
+            start_batch(k + 1, nb, g)
+            grp = jax.lax.rem(k, 2)
+            sc, sp = grp, 1 - grp
 
-        # intra-batch exact order matrix: lane i in front of lane j by
-        # (depth, source idx) lex — blocks2 does not depth-sort block
-        # interiors; this matrix IS the sort, with exact-mode tie semantics
-        d_col = d_cur.reshape(US, 1)
-        i_col = i_cur.reshape(US, 1)
-        if "cums" in ablate:
-            cums = jnp.zeros((NPX, US), f32)
-        else:
-            M = lex_front(d_col, i_col, d_cur, i_cur)
-            cums = jax.lax.dot_general(
-                lac, M, (((1,), (0,)), ((), ())),
-                preferred_element_type=f32)                     # (NPX, US)
+            bmin = jnp.int32(0x10000)
+            bmax = jnp.int32(-1)
+            for u in range(U):
+                pos = k * U + u
+                live = pos < nb
+                mn, mx = block_mm(pos, g)
+                bmin = jnp.where(live, jnp.minimum(bmin, mn), bmin)
+                bmax = jnp.where(live, jnp.maximum(bmax, mx), bmax)
 
-        if "pend" not in ablate:
-            pend_la[sc] = lac
-            pend_rgb[sc] = jnp.concatenate(
-                [rgbT, jnp.zeros((1, US), bf16)], axis=0)
-            pend_d[sc] = d_cur
-            pend_i[sc] = i_cur
-            pend_z[sc] = cums + cols_v[:, 4:5]
+            # the DMA ring is a contiguous (PW, US) slab per slot (each
+            # block lands at its lane offset), so the batch payload is ONE
+            # VMEM read — no per-batch concatenation
+            pay_all = pay_vmem[grp]                             # (PW, US)
+            live_v = lane_blk < (nb - k * U)                    # (1, US)
+            F_all, rgbT, w_cur = eval_payload(
+                pay_all, live_v, tile_x, group_y, tsz, tsz)
+            if "eval" in ablate:
+                la = jnp.full((NPX, US), -0.01, f32)
+            else:
+                _, la = mm_power(F_all)                         # (NPX, US)
+            lac = la.astype(cdt)
+            tot = jnp.sum(la, axis=1, keepdims=True)            # (NPX, 1)
 
-        # chain <-> big exchange. Exact in both directions: when a big lane
-        # STRADDLES this batch's depth range, pay two masked matmuls; in the
-        # common disjoint case, exact per-pixel mass adds suffice (a big
-        # entirely before bmin is in front of every batch lane; a batch is
-        # entirely in front of any big past bmax).
-        bminf = bmin.astype(f32)
-        bmaxf = bmax.astype(f32)
-        d_big = big_d[...]
-        # scalar straddle gate via the per-tile bucket mask (conservative:
-        # bucket granularity can fire the exact matmul path spuriously,
-        # never the reverse)
-        b0 = jnp.clip(bmin >> 12, 0, 15)
-        b1 = jnp.clip(bmax >> 12, 0, 15)
-        rmask = jnp.left_shift(
-            jnp.left_shift(jnp.int32(1), b1 - b0 + 1) - 1, b0)
-        strad = has_big & (bmax >= bmin) & ((meta[2] & rmask) != 0)
-        if "bigx" in ablate:
-            strad = strad & (nb < 0)
-            has_big_x = has_big & (nb < 0)
-        else:
-            has_big_x = has_big
-        @pl.when(strad)
-        def _():
-            i_big = big_i[...]
-            mask_bc = lex_front(d_big.reshape(obig, 1),
-                                i_big.reshape(obig, 1), d_cur, i_cur)
-            pend_z[sc] += jax.lax.dot_general(
-                big_la[...], mask_bc, (((1,), (0,)), ((), ())),
-                preferred_element_type=f32)                     # (NPX, US)
-            mask_cb = lex_front(d_col, i_col, d_big, i_big)     # (US, OBIG)
-            big_z[...] += jax.lax.dot_general(
-                lac, mask_cb, (((1,), (0,)), ((), ())),
-                preferred_element_type=f32)
-        @pl.when(has_big_x & ~strad)
-        def _():
-            bfm = jnp.sum(big_la[...].astype(f32) * (d_big < bminf),
-                          axis=1, keepdims=True)                # (NPX, 1)
-            pend_z[sc] += bfm
-            big_z[...] += tot * (d_big > bmaxf).astype(f32)
+            # intra-batch exact order matrix: lane i in front of lane j by
+            # the packed (depth16, idx/128) rank — blocks2 does not depth-
+            # sort block interiors; this matrix IS the sort, with exact-mode
+            # tie semantics
+            w_col = w_cur.reshape(US, 1)
+            if "cums" in ablate:
+                cums = jnp.zeros((NPX, US), f32)
+            else:
+                M = w_front(w_col, w_cur)
+                cums = jax.lax.dot_general(
+                    lac, M, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)                 # (NPX, US)
 
-        # cross-batch lag-1 corrections (gated on depth-range overlap)
-        p_live = k > 0
-        ovl_p = p_live & (bmin <= meta[1]) & (bmax >= meta[0])
-        if "corr" in ablate:
-            ovl_p = p_live & (nb < 0)
-        @pl.when(ovl_p)
-        def _():
-            d_p = pend_d[sp]
-            i_p = pend_i[sp]
-            mf = lex_front(d_col, i_col, d_p, i_p)              # (USc, USp)
-            pend_z[sp] += jax.lax.dot_general(
-                lac, mf, (((1,), (0,)), ((), ())),
-                preferred_element_type=f32)
-            # prev mass NOT in front of each current lane (1 - lex)
-            mb = 1.0 - lex_front(d_p.reshape(US, 1),
-                                 i_p.reshape(US, 1), d_cur, i_cur)
-            pend_z[sc] -= jax.lax.dot_general(
-                pend_la[sp], mb, (((1,), (0,)), ((), ())),
-                preferred_element_type=f32)
+            if "pend" not in ablate:
+                pend_la[sc] = lac
+                pend_rgb[sc] = jnp.concatenate(
+                    [rgbT, jnp.zeros((1, US), bf16)], axis=0)
+                pend_w[sc] = w_cur
+                pend_z[sc] = cums
+                pend_c[sc] = cols_v[rs, 4:5]
 
-        if "emit" not in ablate:
-            @pl.when(p_live)
+            # chain <-> big exchange. Exact in both directions: when a big
+            # lane STRADDLES this batch's depth range, pay two masked
+            # matmuls; in the common disjoint case, exact per-pixel mass
+            # adds suffice (a big entirely before bmin is in front of every
+            # batch lane; a batch is entirely in front of any big past bmax)
+            bminf = bmin.astype(f32)
+            bmaxf = bmax.astype(f32)
+            d_big = big_d[...]
+            # scalar straddle gate via the per-group bucket mask
+            # (conservative: bucket granularity can fire the exact matmul
+            # path spuriously, never the reverse)
+            b0 = jnp.clip(bmin >> 11, 0, 31)
+            b1 = jnp.clip(bmax >> 11, 0, 31)
+
+            def wmask(w):
+                lo_b = jnp.clip(b0 - 16 * w, 0, 16)
+                hi_b = jnp.clip(b1 + 1 - 16 * w, 0, 16)
+                return (jnp.left_shift(jnp.int32(1), hi_b)
+                        - jnp.left_shift(jnp.int32(1), lo_b))
+
+            strad = has_big & (bmax >= bmin) & (
+                ((meta[2] & wmask(0)) | (meta[3] & wmask(1))) != 0)
+            if "bigx" in ablate:
+                strad = strad & (nb < 0)
+                has_big_x = has_big & (nb < 0)
+            else:
+                has_big_x = has_big
+            @pl.when(strad)
             def _():
-                emit(pend_la[sp], pend_z[sp], pend_rgb[sp])
-        tcar = cols_v[:, 4:5] + tot
-        cols_v[:, 4:5] = tcar
-        # exit metric: chain mass + big mass certainly in front of every
-        # future block (future min_depth >= current bmin)
-        bexit = jnp.where(
-            has_big,
-            jnp.sum(big_la[...].astype(f32) * (d_big < bminf),
-                    axis=1, keepdims=True),
-            jnp.zeros((NPX, 1), f32))
-        cols_v[:, 5:6] = tcar + bexit
-        meta[0] = bmin
-        meta[1] = bmax
-        return k + 1
+                w_big = big_w[...]
+                mask_bc = w_front(w_big.reshape(obig, 1), w_cur)
+                pend_z[sc] += jax.lax.dot_general(
+                    bigla_vmem[slot_r, rs], mask_bc,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)                 # (NPX, US)
+                mask_cb = w_front(w_col, w_big)                 # (US, OBIG)
+                big_z[rs] += jax.lax.dot_general(
+                    lac, mask_cb, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+            @pl.when(has_big_x & ~strad)
+            def _():
+                bfm = jnp.sum(bigla_vmem[slot_r, rs].astype(f32)
+                              * (d_big < bminf),
+                              axis=1, keepdims=True)            # (NPX, 1)
+                pend_c[sc] += bfm
+                big_z[rs] += tot * (d_big > bmaxf).astype(f32)
 
-    def cond(k):
-        go = (k * U < nb) & (k < max_batches)
+            # cross-batch lag-1 corrections (gated on depth-range overlap)
+            p_live = k > 0
+            ovl_p = p_live & (bmin <= meta[1]) & (bmax >= meta[0])
+            if "corr" in ablate:
+                ovl_p = p_live & (nb < 0)
+            @pl.when(ovl_p)
+            def _():
+                w_p = pend_w[sp]
+                mf = w_front(w_col, w_p)                        # (USc, USp)
+                pend_z[sp] += jax.lax.dot_general(
+                    lac, mf, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+                # prev mass NOT in front of each current lane (1 - rank-lt)
+                mb = 1.0 - w_front(w_p.reshape(US, 1), w_cur)
+                pend_z[sc] -= jax.lax.dot_general(
+                    pend_la[sp], mb, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+
+            if "emit" not in ablate:
+                @pl.when(p_live)
+                def _():
+                    emit(pend_la[sp], pend_z[sp], pend_rgb[sp], rs,
+                         zc=pend_c[sp])
+            tcar = cols_v[rs, 4:5] + tot
+            cols_v[rs, 4:5] = tcar
+            if early_exit:
+                # exit metric: chain mass + big mass certainly in front of
+                # every future block (future min_depth >= current bmin).
+                # Reduced to an SMEM flag HERE (inside the body, where the
+                # vector pipeline is already hot) so the while cond below is
+                # pure scalar — a vector reduction in the cond stalls the
+                # scalar core on the VPU once per iteration.
+                bexit = jnp.where(
+                    has_big,
+                    jnp.sum(bigla_vmem[slot_r, rs].astype(f32)
+                            * (d_big < bminf),
+                            axis=1, keepdims=True),
+                    jnp.zeros((NPX, 1), f32))
+                meta[4] = (jnp.max(tcar + bexit)
+                           > LOG_MIN_ALPHA).astype(jnp.int32)
+            meta[0] = bmin
+            meta[1] = bmax
+            return k + 1
+
+        def cond(k):
+            go = (k * U < nb) & (k < max_batches)
+            if early_exit:
+                go = go & (meta[4] != 0)
+            return go
+
         if early_exit:
-            go = go & (jnp.max(cols_v[:, 5:6]) > LOG_MIN_ALPHA)
-        return go
+            meta[4] = jnp.int32(1)
+        k_end = jax.lax.while_loop(cond, body, jnp.int32(0))
+        wait_batch(k_end, nb)   # drain the in-flight batch
 
-    k_end = jax.lax.while_loop(cond, body, jnp.int32(0))
-    wait_batch(k_end)   # drain the in-flight batch
+        # prefetch the NEXT tile's batch 0 now: either the next tile of this
+        # group (rows already resident), or tile 0 of the next group (its
+        # rows arrived during this group; the emits below hide the DMA)
+        @pl.when(g + 1 < G)
+        def _():
+            start_batch0(slot_r, g + 1)
+        @pl.when((g + 1 == G) & (t + 1 < num_groups))
+        def _():
+            pltpu.make_async_copy(rows_hbm.at[0], row_smem.at[1 - slot_r],
+                                  row_sems.at[1 - slot_r]).wait()
+            start_batch0(1 - slot_r, 0)
 
-    # prefetch the NEXT tile's batch 0 now: its rows arrived during this
-    # tile (started at the top), and the emits/present below hide the DMA
-    @pl.when(t + 1 < num_tiles)
-    def _():
-        pltpu.make_async_copy(rows_hbm.at[0], row_smem.at[1 - slot_r],
-                              row_sems.at[1 - slot_r]).wait()
-        start_batch0(1 - slot_r)
+        @pl.when(k_end > 0)
+        def _():
+            sp = jax.lax.rem(k_end - 1, 2)
+            emit(pend_la[sp], pend_z[sp], pend_rgb[sp], rs, zc=pend_c[sp])
 
-    @pl.when(k_end > 0)
-    def _():
-        sp = jax.lax.rem(k_end - 1, 2)
-        emit(pend_la[sp], pend_z[sp], pend_rgb[sp])
+        # diagnostics channel: chain blocks processed for this tile
+        cols_v[rs, 7:8] = jnp.broadcast_to(
+            jnp.minimum(k_end * U, nb).astype(f32), (NPX, 1))
+        return _carry
 
+    jax.lax.fori_loop(0, GROUP, tile_body, jnp.int32(0))
+
+    # one final big emit + present for the WHOLE group
     @pl.when(has_big)
     def _():
-        emit(big_la[...], big_z[...], big_rgb[...])
+        emit(bigla_vmem[slot_r], big_z[...], big_rgb[...], pl.ds(0, NPXG))
 
     t_exp = cols_v[:, 4:5] + jnp.where(has_big, cols_v[:, 6:7],
-                                       jnp.zeros((NPX, 1), f32))
-    t_final = jnp.exp(t_exp)                                    # (NPX, 1)
+                                       jnp.zeros((NPXG, 1), f32))
+    t_final = jnp.exp(t_exp)                                    # (NPXG, 1)
 
     # --- present: heatmap mix + channel assembly ----------------------------
-    mixf = cand.astype(f32) * 5e-4
+    pix_tile = jax.lax.broadcasted_iota(jnp.int32, (NPXG, 1), 0) // NPX
+    mixf = jnp.zeros((NPXG, 1), f32)
+    nb_px = jnp.zeros((NPXG, 1), f32)
+    for g in range(GROUP):
+        mixf = jnp.where(pix_tile == g,
+                         row_smem[slot_r, g * 8, 1].astype(f32) * 5e-4, mixf)
+        nb_px = jnp.where(pix_tile == g,
+                          row_smem[slot_r, g * 8, 0].astype(f32), nb_px)
     cov = (1.0 - t_final) * hm_f
-    ch = jax.lax.broadcasted_iota(jnp.int32, (NPX, OUT_CH), 1)
+    ch = jax.lax.broadcasted_iota(jnp.int32, (NPXG, OUT_CH), 1)
     hm = jnp.where(ch == 0, 1.0 * mixf,
                    jnp.where(ch == 1, 0.2 * mixf,
                              jnp.where(ch == 2, 1.0 - 0.8 * mixf, 0.0))) * cov
 
     acc = cols_v[:, 0:3]
     rgb_full = jnp.concatenate(
-        [acc, jnp.zeros((NPX, OUT_CH - 3), f32)], axis=1)
+        [acc, jnp.zeros((NPXG, OUT_CH - 3), f32)], axis=1)
     out = rgb_full + hm
     out = jnp.where(ch == 3, 1.0, out)
     out = jnp.where(ch == 4, t_final, out)
-    # diagnostics: ch5 = chain blocks processed, ch6 = nb, ch7 = nbig
-    out = jnp.where(ch == 5, jnp.minimum(k_end * U, nb).astype(f32), out)
-    out = jnp.where(ch == 6, nb.astype(f32), out)
+    # diagnostics: ch5 = chain blocks processed, ch6 = nb, ch7 = nbig (group)
+    out = jnp.where(ch == 5, cols_v[:, 7:8], out)
+    out = jnp.where(ch == 6, nb_px, out)
     out = jnp.where(ch == 7, nbig.astype(f32), out)
     out_ref[0] = out
 
 
 def pack_tile_rows_v3(tile_blocks, tile_nblocks, tile_nbig, tile_minmax,
-                      tile_candidates, heatmap_factor,
+                      tile_candidates, heatmap_factor, cfg,
                       pixel_offset_y=0):
-    """Tile lists -> (T, 8, 128) i32 rows: row0 = [nb, cand, hm16.16, y_off,
-    nbig], rows 1-2 = block ids, rows 3-4 = minmax, rows 5-7 spare
-    (feature centers ride payload rows 14/15)."""
+    """Tile lists -> (TG, GROUP*8, 128) i32 group rows. Per tile g the 8-row
+    section holds row0 = [nb, cand, hm16.16, y_off, nbig(group; tile 0
+    only)], rows 1-2 = block ids, rows 3-4 = minmax, rows 5-7 spare
+    (feature centers ride payload rows 14/15). Tiles padding gx up to a
+    GROUP multiple get nb = 0."""
+    gx, gy = cfg.tile_dims
     T, C2 = tile_blocks.shape
-    assert C2 <= 256
+    assert T == gx * gy and C2 <= 256
+    gx2 = -(-gx // GROUP)
+    gxp = gx2 * GROUP
+    TG = gx2 * gy
     hm_bits = jnp.round(
         jnp.asarray(heatmap_factor, jnp.float32) * 65536.0).astype(jnp.int32)
     yoff = jnp.broadcast_to(
@@ -507,8 +623,7 @@ def pack_tile_rows_v3(tile_blocks, tile_nblocks, tile_nbig, tile_minmax,
         tile_candidates.reshape(T, 1).astype(jnp.int32),
         jnp.broadcast_to(hm_bits.reshape(1, 1), (T, 1)),
         yoff,
-        tile_nbig.reshape(T, 1).astype(jnp.int32),
-        jnp.zeros((T, 128 - 5), jnp.int32),
+        jnp.zeros((T, 128 - 4), jnp.int32),
     ], axis=1)
 
     def sect(a):
@@ -518,14 +633,89 @@ def pack_tile_rows_v3(tile_blocks, tile_nblocks, tile_nbig, tile_minmax,
 
     rows = jnp.concatenate(
         [hdr, sect(tile_blocks), sect(tile_minmax),
-         jnp.zeros((T, 3 * 128), jnp.int32)], axis=1)
-    return rows.reshape(T, 8, 128)
+         jnp.zeros((T, 3 * 128), jnp.int32)], axis=1).reshape(T, 8, 128)
+    if gxp != gx:
+        rows = jnp.pad(rows.reshape(gy, gx, 8, 128),
+                       ((0, 0), (0, gxp - gx), (0, 0), (0, 0)))
+    rows = rows.reshape(TG, GROUP, 8, 128)
+    # group big count rides tile 0's header slot 4
+    rows = rows.at[:, 0, 0, 4].set(tile_nbig.astype(jnp.int32))
+    return rows.reshape(TG, GROUP * 8, 128)
+
+
+def _group_pixel_coords(cfg):
+    """Group-local pixel coordinates (NPXG,) xs, ys: pixels of GROUP
+    horizontally contiguous tiles, tile-major (matching the kernel's
+    per-tile NPX slices and assemble_image_v3's unpacking)."""
+    import numpy as _np
+    ts = cfg.tile_size
+    NPX = ts * ts
+    pixg = _np.arange(GROUP * NPX)
+    xs = (pixg // NPX) * ts + (pixg % NPX) % ts
+    ys = (pixg % NPX) // ts
+    return xs.astype(_np.float32), ys.astype(_np.float32)
+
+
+def prepass_big_la(bigpay, cfg, lowp: bool = True, pixel_offset_y=0):
+    """(TG, PW, OBIG) big-lane payloads -> (TG, G*NPX, OBIG) log1p(-alpha).
+
+    The big-lane eval (feature re-centering to the group origin, the
+    NPXG x OBIG power matmul, exp, coverage gate) as ONE batched XLA
+    computation over every group. Inside the Pallas kernel this was ~35
+    small per-group ops running for ~98% of tiles on a sequential grid —
+    pure op-issue overhead; batched here the identical math is
+    throughput-bound (~2 GMAC + one la-map write that the kernel streams
+    back through a double-buffered DMA ring). The kernel keeps only the
+    order-dependent pieces (intra-big occlusion triangle, rank rows,
+    depth bucket mask). Mirrors eval_payload + mm_power exactly; XLA's
+    Precision.HIGHEST replaces the kernel's 2-pass bf16 hi/lo split
+    (Mosaic cannot lower HIGHEST; XLA proper can)."""
+    f32 = jnp.float32
+    gx, _ = cfg.tile_dims
+    gx2 = -(-gx // GROUP)
+    ts = float(cfg.tile_size)
+    TG = bigpay.shape[0]
+    t = jnp.arange(TG, dtype=jnp.int32)
+    ox = (jax.lax.rem(t, gx2) * (GROUP * cfg.tile_size)
+          ).astype(f32)[:, None]                                # (TG, 1)
+    oy = ((t // gx2) * cfg.tile_size
+          + jnp.asarray(pixel_offset_y, jnp.int32)).astype(f32)[:, None]
+
+    pay = bigpay.astype(f32)                                    # (TG, PW, OB)
+    dx = ox - pay[:, 14]
+    dy = oy - pay[:, 15]
+    f0u = (pay[:, 0] + dx * pay[:, 1] + dy * pay[:, 2]
+           + dx * dx * pay[:, 3] + dy * dy * pay[:, 4] + dx * dy * pay[:, 5])
+    f1u = pay[:, 1] + 2.0 * dx * pay[:, 3] + dy * pay[:, 5]
+    f2u = pay[:, 2] + 2.0 * dy * pay[:, 4] + dx * pay[:, 5]
+    rw = jax.lax.bitcast_convert_type(pay[:, 11], jnp.uint32)
+    rxw = jax.lax.bitcast_convert_type(
+        (rw & 0xFFFF).astype(jnp.uint16), jnp.bfloat16).astype(f32)
+    ryw = jax.lax.bitcast_convert_type(
+        (rw >> 16).astype(jnp.uint16), jnp.bfloat16).astype(f32)
+    ixr, iyr = pay[:, 9], pay[:, 10]
+    covered = ((ixr - rxw < ox + GROUP * ts) & (ixr + rxw > ox)
+               & (iyr - ryw < oy + ts) & (iyr + ryw > oy))
+    gate = jnp.where(covered, 0.0, GATE_OFF)
+    F = jnp.stack([f0u, f1u, f2u, pay[:, 3], pay[:, 4], pay[:, 5],
+                   gate, jnp.zeros_like(gate)], axis=1)         # (TG, 8, OB)
+    xs, ys = _group_pixel_coords(cfg)
+    import numpy as _np
+    ones = _np.ones_like(xs)
+    pixf = jnp.asarray(_np.stack(
+        [ones, xs, ys, xs * xs, ys * ys, xs * ys, ones,
+         _np.zeros_like(xs)], axis=1))                          # (NPXG, 8)
+    P = jnp.einsum("pf,tfo->tpo", pixf, F,
+                   precision=jax.lax.Precision.HIGHEST)
+    alpha = jnp.minimum(jnp.exp(P), ALPHA_MAX)
+    return jnp.log1p(-alpha).astype(
+        jnp.bfloat16 if lowp else jnp.float32)
 
 
 def render_tiles_v3(
     payload: jnp.ndarray,          # (B, PW, S) f32
     bins,                          # TileBins2
-    tile_bigs,                     # TileBigs (ops/bigbin.py)
+    tile_bigs,                     # TileBigs (ops/bigbin.py, per group)
     heatmap_factor: jnp.ndarray,   # () f32
     cfg: RasterizerConfig,
     early_exit: bool = True,
@@ -535,7 +725,8 @@ def render_tiles_v3(
     batch_u: int | None = None,
     ablate: str | None = None,
 ):
-    """Launch the v3 kernel over the tile grid -> (T, NPX, OUT_CH) tiles.
+    """Launch the v3 kernel over the group grid -> (TG, GROUP*NPX, OUT_CH)
+    group pixel buffer (assemble_image_v3 / tile_t_final unpack it).
 
     batch_u / ablate are explicit static knobs (benchmark ablation hooks);
     when left None they fall back to the GS_BATCH_U / GS_KERNEL_ABLATE env
@@ -543,18 +734,20 @@ def render_tiles_v3(
     stray env var would silently corrupt production renders (and changing
     either after first compile is ignored by the jit cache)."""
     gx, gy = cfg.tile_dims
-    T = gx * gy
+    gx2 = -(-gx // GROUP)
+    TG = gx2 * gy
     NPX = cfg.tile_size * cfg.tile_size
+    NPXG = GROUP * NPX
     if jax.default_backend() == "cpu":
         interpret = True   # Mosaic kernels only compile for TPU
 
-    C2 = bins.tile_blocks.shape[1]
     obig = tile_bigs.bigpay.shape[2]
     import os as _os
     if batch_u is None:
         batch_u = int(_os.environ.get("GS_BATCH_U",
                                       default_batch_u(cfg.tile_size)))
     Un = batch_u
+    C2 = bins.tile_blocks.shape[1]
     max_batches = -(-C2 // Un)
     cdt = jnp.bfloat16 if lowp else jnp.float32
     if ablate is None:
@@ -568,34 +761,41 @@ def render_tiles_v3(
     rows = pack_tile_rows_v3(bins.tile_blocks, bins.tile_nblocks,
                              tile_bigs.tile_nbig, bins.tile_minmax,
                              bins.tile_candidates,
-                             heatmap_factor, pixel_offset_y)
+                             heatmap_factor, cfg, pixel_offset_y)
     US = Un * BLOCK_SIZE
     kern = functools.partial(
-        _render_kernel_v3, gx=gx, tile_size=cfg.tile_size, num_tiles=T,
+        _render_kernel_v3, gx2=gx2, tile_size=cfg.tile_size, num_groups=TG,
         early_exit=early_exit, lowp=lowp, max_batches=max_batches,
         obig=obig, U=Un, ablate=ablate)
 
-    # static per-tile constants, pipelined in ONCE (constant block index):
-    # the pixel-feature matrix (tile-local coordinates, identical for every
-    # tile) and the strict big-lane order triangle
+    # static pixel-feature constants, pipelined in ONCE (constant block
+    # index): tile-local features for the chain batches, and the strict
+    # big-lane order triangle
     ts = cfg.tile_size
     import numpy as _np
+
+    def pix_features(npx, xs, ys):
+        ones = _np.ones(npx, _np.float32)
+        f = _np.stack([ones, xs, ys, xs * xs, ys * ys, xs * ys,
+                       ones, _np.zeros(npx, _np.float32)], axis=1)
+        hi = f.astype(jnp.bfloat16)
+        lo = (f - hi.astype(_np.float32)).astype(jnp.bfloat16)
+        return hi, lo
+
     pix = _np.arange(NPX)
-    pxl = (pix % ts).astype(_np.float32)
-    pyl = (pix // ts).astype(_np.float32)
-    ones = _np.ones(NPX, _np.float32)
-    pixf_np = _np.stack([ones, pxl, pyl, pxl * pxl, pyl * pyl, pxl * pyl,
-                         ones, _np.zeros(NPX, _np.float32)], axis=1)
-    pixf_b_np = pixf_np.astype(jnp.bfloat16)
-    pixf_lo_np = (pixf_np - pixf_b_np.astype(_np.float32)).astype(
-        jnp.bfloat16)
+    pixf_b_np, pixf_lo_np = pix_features(
+        NPX, (pix % ts).astype(_np.float32), (pix // ts).astype(_np.float32))
     lt_ob_np = (_np.arange(obig)[:, None] < _np.arange(obig)[None, :]).astype(
         jnp.bfloat16 if lowp else _np.float32)
 
+    bigla = prepass_big_la(tile_bigs.bigpay, cfg, lowp=lowp,
+                           pixel_offset_y=pixel_offset_y)
+
     return pl.pallas_call(
         kern,
-        grid=(T,),
+        grid=(TG,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -606,40 +806,55 @@ def render_tiles_v3(
             pl.BlockSpec((obig, obig), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, NPX, OUT_CH), lambda t: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, NPXG, OUT_CH), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, NPX, OUT_CH), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((TG, NPXG, OUT_CH), jnp.float32),
         scratch_shapes=[
-            pltpu.SMEM((2, 8, 128), jnp.int32),
-            pltpu.SMEM((4,), jnp.int32),
-            pltpu.VMEM((2 * Un, PAYLOAD_WIDTH, BLOCK_SIZE), jnp.float32),
+            pltpu.SMEM((2, GROUP * 8, 128), jnp.int32),
+            pltpu.SMEM((6,), jnp.int32),
+            pltpu.VMEM((2, PAYLOAD_WIDTH, Un * BLOCK_SIZE), jnp.float32),
             pltpu.VMEM((2, PAYLOAD_WIDTH, obig), jnp.float32),
+            pltpu.VMEM((2, NPXG, obig), cdt),          # bigla ring
             pltpu.VMEM((2, NPX, US), jnp.float32),     # pend_z
+            pltpu.VMEM((2, NPX, 1), jnp.float32),      # pend_c
             pltpu.VMEM((2, NPX, US), cdt),             # pend_la
             pltpu.VMEM((2, 4, US), jnp.bfloat16),      # pend_rgb
-            pltpu.VMEM((2, 1, US), jnp.float32),       # pend_d
-            pltpu.VMEM((2, 1, US), jnp.int32),         # pend_i
-            pltpu.VMEM((NPX, obig), jnp.float32),      # big_z
-            pltpu.VMEM((NPX, obig), cdt),              # big_la
+            pltpu.VMEM((2, 1, US), jnp.int32),         # pend_w
+            pltpu.VMEM((NPXG, obig), jnp.float32),     # big_z
             pltpu.VMEM((4, obig), jnp.bfloat16),       # big_rgb
             pltpu.VMEM((1, obig), jnp.float32),        # big_d
-            pltpu.VMEM((1, obig), jnp.int32),          # big_i
-            pltpu.VMEM((NPX, 8), jnp.float32),         # cols
+            pltpu.VMEM((1, obig), jnp.int32),          # big_w
+            pltpu.VMEM((NPXG, 8), jnp.float32),        # cols
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2, Un)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(rows, payload, tile_bigs.bigpay, jnp.asarray(pixf_b_np),
+    )(rows, payload, tile_bigs.bigpay, bigla, jnp.asarray(pixf_b_np),
       jnp.asarray(pixf_lo_np), jnp.asarray(lt_ob_np))
 
 
-def assemble_image_v3(tiles: jnp.ndarray, cfg: RasterizerConfig):
-    """(T, NPX, OUT_CH) tile buffer -> ((H, W, 4) image, (T, NPX) t_final)."""
+def tile_channels_v3(tiles: jnp.ndarray, cfg: RasterizerConfig):
+    """(TG, GROUP*NPX, C) group buffer -> (T, NPX, C) per true tile."""
     gx, gy = cfg.tile_dims
+    gx2 = -(-gx // GROUP)
+    NPX = cfg.tile_size * cfg.tile_size
+    C = tiles.shape[-1] if tiles.ndim == 3 else 1
+    t4 = tiles.reshape(gy, gx2 * GROUP, NPX, C)
+    return t4[:, :gx].reshape(gy * gx, NPX, C)
+
+
+def assemble_image_v3(tiles: jnp.ndarray, cfg: RasterizerConfig):
+    """(TG, GROUP*NPX, OUT_CH) group buffer -> ((H, W, 4) image,
+    (T, NPX) t_final)."""
+    gx, gy = cfg.tile_dims
+    gx2 = -(-gx // GROUP)
     ts = cfg.tile_size
     w, h = cfg.target_size
-    t_final = tiles[:, :, 4]
-    img = tiles[:, :, :4].reshape(gy, gx, ts, ts, 4)
-    img = img.transpose(0, 2, 1, 3, 4).reshape(gy * ts, gx * ts, 4)
+    per_tile = tiles.reshape(gy, gx2 * GROUP, ts, ts, OUT_CH)
+    t_final = per_tile[:, :gx, :, :, 4].reshape(gy * gx, ts * ts)
+    img = per_tile[..., :4]                       # (gy, gxp, ts_y, ts_x, 4)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(gy * ts,
+                                               gx2 * GROUP * ts, 4)
     return img[:h, :w], t_final
