@@ -9,9 +9,9 @@ Per-frame block preparation for the TPU fast path:
     or whole-screen rects;
   * stage 1 — per Morton superblock, ONE variadic row sort by
     (screen-cell Morton, depth16) groups the remaining splats into
-    screen-local, depth-slabbed runs (12 operands; world positions are
-    replaced by a carried source index, depth/validity are recovered from
-    the key);
+    screen-local, depth-slabbed runs (7 operands: key, image xy, two f16
+    bit-pairs for conic+opacity, rgb9e5 color, source index; depth and
+    validity are recovered from the key);
   * blocks of BLOCK_SIZE are cut directly from the stage-1 order; lanes
     inside a block need NOT be depth-monotone — the render kernel's
     depth-indicator matrix orders all batch lanes by actual depth (with a
@@ -87,6 +87,37 @@ def _unpack_f16(w):
 
 def _round_bf16(x):
     return x.astype(jnp.bfloat16).astype(jnp.float32)
+
+
+def _pack_rgb9e5(r, g, b):
+    """Non-negative RGB -> one u32: 9-bit mantissas, shared 5-bit exponent.
+
+    Stage-1 sort cost scales with operand traffic; rgb9e5 carries all three
+    color channels in ONE word at <= 2^-9-of-max-channel absolute error
+    (~65 dB quantization floor, far above the fast path's PSNR gates; the
+    exact pipeline keeps full-precision color). Exponent via f32 bit tricks
+    (no transcendentals): e = biased_exp - 126 gives 2^(e-1) <= m < 2^e."""
+    m = jnp.maximum(jnp.maximum(r, g), b)
+    eb = ((jax.lax.bitcast_convert_type(jnp.maximum(m, 1e-12), jnp.uint32)
+           >> 23) & 0xFF).astype(jnp.int32) - 126       # ceil(log2 m)
+    e = jnp.clip(eb, -15, 16)
+    s = jnp.exp2((9 - e).astype(jnp.float32))
+
+    def q(c):
+        return jnp.clip(jnp.round(c * s), 0.0, 511.0).astype(jnp.uint32)
+
+    return (q(r) | (q(g) << 9) | (q(b) << 18)
+            | ((e + 15).astype(jnp.uint32) << 27))
+
+
+def _unpack_rgb9e5(w):
+    e = ((w >> 27) & 0x1F).astype(jnp.int32) - 15
+    s = jnp.exp2((e - 9).astype(jnp.float32))
+
+    def d(sh):
+        return ((w >> sh) & 0x1FF).astype(jnp.float32) * s
+
+    return d(0), d(9), d(18)
 
 
 def _pack_bf16_pair(a, b):
@@ -282,7 +313,6 @@ def build_block_frame2(prj: ProjectedSplats, cfg: RasterizerConfig,
     morton = spread8(ctx & 0xFF) | (spread8(cty & 0xFF) << 1)
 
     inf = jnp.uint32(0xFFFFFFFF)
-    radius_sb = prj.radius.reshape(SB, sb_size)
     conic = prj.conic.reshape(SB, sb_size, 3)
     color = prj.color.reshape(SB, sb_size, 4)
     idx = (jnp.arange(P, dtype=jnp.uint32).reshape(SB, sb_size))
@@ -308,12 +338,21 @@ def build_block_frame2(prj: ProjectedSplats, cfg: RasterizerConfig,
     # even when Morton order concentrates bigs in few superblocks (small
     # scenes degenerate to full rows, which is cheap there anyway)
     KB = min(sb_size, max(4096, 4 * big_cap // max(SB, 1)))
-    bkey = jnp.where(is_big, depth_sb, inf)
-    bk_s, pos_s = jax.lax.sort((bkey, idx), dimension=1, num_keys=1,
-                               is_stable=True)
+    # ONE-operand candidate sort: fold the column into the low 14 bits of
+    # the depth key (sb_size = 16384 columns; depth16 <= 0xFFFE keeps every
+    # valid key below the inf sentinel). Recovering (depth, column) from
+    # the key halves the row-sort's operand traffic.
+    colv = jnp.broadcast_to(
+        jnp.arange(sb_size, dtype=jnp.uint32)[None], (SB, sb_size))
+    bkey = jnp.where(is_big, (depth_sb << 14) | (colv & 0x3FFF), inf)
+    (bk_s,) = jax.lax.sort((bkey,), dimension=1, num_keys=1)
+    win = bk_s[:, :KB]
+    row0 = (jnp.arange(SB, dtype=jnp.uint32) * jnp.uint32(sb_size))[:, None]
+    pos_w = jnp.where(win != inf, row0 + (win & 0x3FFF), jnp.uint32(0))
     gks, gidx = jax.lax.sort(
-        (bk_s[:, :KB].reshape(-1), pos_s[:, :KB].reshape(-1)),
+        ((win >> 14).reshape(-1), pos_w.reshape(-1)),
         dimension=0, num_keys=1, is_stable=True)
+    gks = jnp.where(gks == (inf >> 14), inf, gks)
     cap = min(big_cap, SB * KB)
     tk_idx = gidx[:cap].astype(jnp.int32)
     tk_ok = gks[:cap] != inf
@@ -338,17 +377,18 @@ def build_block_frame2(prj: ProjectedSplats, cfg: RasterizerConfig,
         gx=gx, gy=gy, ts=ts)
 
     # --- stage 1: per-superblock (cell Morton, depth16) clustering ----------
-    # 8 operands (key + ix/iy f32 + 4 packed f16 pairs + idx): the row sort
-    # scales with operand traffic (~3 Gkeys/s/operand), so conic, color,
-    # opacity and radius ride as f16 bit-pairs
+    # 7 operands (key + ix/iy f32 + 2 packed f16 pairs + rgb9e5 + idx): the
+    # row sort scales with operand traffic (~3 Gkeys/s/operand), so conic
+    # and opacity ride as f16 bit-pairs and all three color channels share
+    # ONE rgb9e5 word (the projection radius is not needed post-sort at
+    # all — coverage extents rebuild from the carried conic/opacity)
     key = jnp.where(valid_sb & ~taken,
                     ((morton & 0x7FFF) << 16) | depth_sb, inf)
     operands = (key,
                 ipos_sb[..., 0], ipos_sb[..., 1],
                 _pack_f16(conic[..., 0], conic[..., 1]),
-                _pack_f16(conic[..., 2], radius_sb),
-                _pack_f16(color[..., 0], color[..., 1]),
-                _pack_f16(color[..., 2], color[..., 3]),
+                _pack_f16(conic[..., 2], color[..., 3]),
+                _pack_rgb9e5(color[..., 0], color[..., 1], color[..., 2]),
                 idx)
     s1 = jax.lax.sort(operands, dimension=1, num_keys=1, is_stable=True)
 
@@ -359,10 +399,9 @@ def build_block_frame2(prj: ProjectedSplats, cfg: RasterizerConfig,
     depth_b = key_b & 0xFFFF
     ix, iy = blk(s1[1]), blk(s1[2])
     ca, cb = _unpack_f16(blk(s1[3]))
-    cc, _ = _unpack_f16(blk(s1[4]))
-    r, g = _unpack_f16(blk(s1[5]))
-    b, op = _unpack_f16(blk(s1[6]))
-    idx_s = blk(s1[7])
+    cc, op = _unpack_f16(blk(s1[4]))
+    r, g, b = _unpack_rgb9e5(blk(s1[5]))
+    idx_s = blk(s1[6])
     valid = key_b != inf
     # anisotropic coverage extents, derived from the carried conic/opacity
     # (no extra sort operand)

@@ -107,6 +107,8 @@ def _render_kernel_v3(
     pend_c,          # VMEM (2, NPX, 1) f32 — per-pixel z column (carry +
                      # uniform big front mass), added at emit time
     pend_la,         # VMEM (2, NPX, US) cdt
+    pend_al,         # VMEM (2, NPX, US) bf16 — batch alphas (emit's single
+                     # exp; bf16 alpha is at least as accurate as bf16 la)
     pend_rgb,        # VMEM (2, 4, US) bf16
     pend_w,          # VMEM (2, 1, US) i32 — packed order rank
     big_z,           # VMEM (G*NPX, OBIG) f32
@@ -359,18 +361,24 @@ def _render_kernel_v3(
                     pay_vmem.at[jax.lax.rem(k, 2), :, pl.ds(u * S, S)],
                     sems.at[jax.lax.rem(k, 2), u]).wait()
 
-    def emit(la_b, z, rgbT4, rs, zc=None):
-        """acc[rs] += (alpha * exp(z + zc)) @ rgb, with alpha = 1 - exp(la).
+    def emit(la_b, z, rgbT4, rs, zc=None, al=None):
+        """acc[rs] += (alpha * exp(z + zc)) @ rgb.
 
-        Factored as exp(z) - exp(z + la): two exps, no expm1 (which Mosaic
-        does not lower), and no alpha buffer. zc is an optional per-pixel
-        (NPX, 1) z column (transmittance carry + uniform big front mass),
-        deferred to here so the batch body never read-modify-writes the
-        full (NPX, US) pend_z for per-pixel-uniform terms."""
-        laf = la_b.astype(f32)
+        With the batch's alpha available (al, chain batches): ONE exp —
+        w = exp(z) * alpha, exact since la = log1p(-alpha) by construction.
+        Without it (resident big emit, whose alpha lives only in the la
+        map): factored as exp(z) - exp(z + la) — two exps, no expm1 (which
+        Mosaic does not lower). zc is an optional per-pixel (NPX, 1) z
+        column (transmittance carry + uniform big front mass), deferred to
+        here so the batch body never read-modify-writes the full
+        (NPX, US) pend_z for per-pixel-uniform terms."""
         if zc is not None:
             z = z + zc
-        w = (jnp.exp(z) - jnp.exp(z + laf)).astype(bf16)
+        if al is not None:
+            w = (jnp.exp(z) * al.astype(f32)).astype(bf16)
+        else:
+            laf = la_b.astype(f32)
+            w = (jnp.exp(z) - jnp.exp(z + laf)).astype(bf16)
         cols_v[rs, 0:4] += jax.lax.dot_general(
             w, rgbT4, (((1,), (1,)), ((), ())),
             preferred_element_type=f32)
@@ -411,8 +419,9 @@ def _render_kernel_v3(
                 pay_all, live_v, tile_x, group_y, tsz, tsz)
             if "eval" in ablate:
                 la = jnp.full((NPX, US), -0.01, f32)
+                al = jnp.full((NPX, US), 0.00995, f32)
             else:
-                _, la = mm_power(F_all)                         # (NPX, US)
+                al, la = mm_power(F_all)                        # (NPX, US)
             lac = la.astype(cdt)
             tot = jnp.sum(la, axis=1, keepdims=True)            # (NPX, 1)
 
@@ -431,6 +440,7 @@ def _render_kernel_v3(
 
             if "pend" not in ablate:
                 pend_la[sc] = lac
+                pend_al[sc] = al.astype(bf16)
                 pend_rgb[sc] = jnp.concatenate(
                     [rgbT, jnp.zeros((1, US), bf16)], axis=0)
                 pend_w[sc] = w_cur
@@ -506,7 +516,7 @@ def _render_kernel_v3(
                 @pl.when(p_live)
                 def _():
                     emit(pend_la[sp], pend_z[sp], pend_rgb[sp], rs,
-                         zc=pend_c[sp])
+                         zc=pend_c[sp], al=pend_al[sp])
             tcar = cols_v[rs, 4:5] + tot
             cols_v[rs, 4:5] = tcar
             if early_exit:
@@ -554,7 +564,8 @@ def _render_kernel_v3(
         @pl.when(k_end > 0)
         def _():
             sp = jax.lax.rem(k_end - 1, 2)
-            emit(pend_la[sp], pend_z[sp], pend_rgb[sp], rs, zc=pend_c[sp])
+            emit(pend_la[sp], pend_z[sp], pend_rgb[sp], rs,
+                 zc=pend_c[sp], al=pend_al[sp])
 
         # diagnostics channel: chain blocks processed for this tile
         cols_v[rs, 7:8] = jnp.broadcast_to(
@@ -818,6 +829,7 @@ def render_tiles_v3(
             pltpu.VMEM((2, NPX, US), jnp.float32),     # pend_z
             pltpu.VMEM((2, NPX, 1), jnp.float32),      # pend_c
             pltpu.VMEM((2, NPX, US), cdt),             # pend_la
+            pltpu.VMEM((2, NPX, US), jnp.bfloat16),    # pend_al
             pltpu.VMEM((2, 4, US), jnp.bfloat16),      # pend_rgb
             pltpu.VMEM((2, 1, US), jnp.int32),         # pend_w
             pltpu.VMEM((NPXG, obig), jnp.float32),     # big_z
