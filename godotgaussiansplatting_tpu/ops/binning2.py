@@ -124,18 +124,23 @@ def bin_blocks2(
                 & (bit > 0)
                 & cand_valid[:, None, :])           # (NS, 64, C1)
 
+    # L2 compaction carries ONLY the position key (unique along C1, so no
+    # stability needed); the block-id and depth-range words are gathered
+    # post-sort from the small (NS, C1) tables — 2 gathers of NS*64*C2
+    # elements cost far less than dragging 2 extra operands through the
+    # (NS, 64, C1) sort.
     pos = jnp.broadcast_to(
         jnp.arange(C1, dtype=jnp.uint32)[None, None], covers_t.shape)
     key2 = jnp.where(covers_t, pos, jnp.uint32(C1))
-    ops2 = jax.lax.sort(
-        (key2,
-         jnp.broadcast_to(cand_bidnv[:, None], covers_t.shape),
-         jnp.broadcast_to(k1s[:, None], covers_t.shape)),
-        dimension=2, num_keys=1, is_stable=True)
-    hit = ops2[0][:, :, :C2] != C1
-    tb = jnp.where(hit, (ops2[1][:, :, :C2] & 0xFFFFFF).astype(jnp.int32), -1)
-    tmm = jnp.where(hit, ops2[2][:, :, :C2],
-                    jnp.uint32(0xFFFFFFFF)).astype(jnp.int32)
+    (k2s,) = jax.lax.sort((key2,), dimension=2, num_keys=1)
+    k2s = k2s[:, :, :C2]
+    hit = k2s != C1
+    flat = (jnp.arange(NS, dtype=jnp.uint32)[:, None, None] * jnp.uint32(C1)
+            + jnp.where(hit, k2s, 0))               # (NS, 64, C2)
+    g_bidnv = jnp.take(cand_bidnv.reshape(-1), flat)
+    g_mm = jnp.take(k1s.reshape(-1), flat)
+    tb = jnp.where(hit, (g_bidnv & 0xFFFFFF).astype(jnp.int32), -1)
+    tmm = jnp.where(hit, g_mm, jnp.uint32(0xFFFFFFFF)).astype(jnp.int32)
     nb = jnp.sum(covers_t, axis=2).astype(jnp.int32)          # (NS, 64)
     ncand = jnp.sum(
         jnp.where(covers_t, (cand_bidnv[:, None] >> 24).astype(jnp.int32), 0),

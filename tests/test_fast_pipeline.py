@@ -85,6 +85,26 @@ def test_random_scene_psnr():
     assert p > 40.0, f"fast-path PSNR too low: {p:.1f} dB"
 
 
+@pytest.mark.slow
+def test_sparse_first_tiles_finite():
+    """Regression: the render kernel's chain payload ring is read beyond a
+    tile's block count (gated to zero mass) — at the very first tiles those
+    lanes predate any DMA, and uninitialized VMEM NaN/Inf bit patterns
+    defeat the additive gate. Low opacity keeps early exit from masking the
+    read. The whole first tile row rendered NaN before the t==0 ring zero
+    (ops/render_pallas3.py)."""
+    import dataclasses
+    cfg = RasterizerConfig(width=128, height=176)
+    cloud = _mortonize(synthetic_scene(3000, seed=9, extent=2.5,
+                                       scale_range=(0.01, 0.1)))
+    cloud = dataclasses.replace(cloud, opacity=cloud.opacity * 0.15)
+    uni = make_uniforms(Camera.reset_pose(), cfg)
+    out = render_frame_fast(cloud, uni, cfg, interpret=True)
+    img = np.asarray(out.image)
+    assert np.isfinite(img).all()
+    assert img[:, :, :3].max() > 0.01
+
+
 def test_early_exit_changes_nothing():
     cfg = RasterizerConfig(width=64, height=64,
                            reference_boundary_quirk=False)
