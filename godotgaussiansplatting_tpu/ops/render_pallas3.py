@@ -91,6 +91,9 @@ def _render_kernel_v3(
                      # (the per-tile eval+power+exp ran for ~98% of tiles
                      # as ~35 small overhead-bound ops; batched in XLA it
                      # is throughput-bound)
+    slab_ref,        # (1, PW, slab_u*US) f32 VMEM — XLA-pre-gathered first
+                     # slab_u chain batches of this tile (auto-pipelined;
+                     # dummy (1, PW, S) zeros when slab_u == 0)
     pixf_b_ref,      # (NPX, 8) bf16 VMEM — tile-local pixel features (hi)
     pixf_lo_ref,     # (NPX, 8) bf16 VMEM — lo half (zeros at tile<=16)
     lt_ob_ref,       # (OBIG, OBIG) cdt VMEM — strict lower-triangle mask
@@ -123,7 +126,8 @@ def _render_kernel_v3(
     big_sems,        # DMA sems (2,)
     bigla_sems,      # DMA sems (2,)
     *, gx2: int, tile_size: int, num_groups: int, early_exit: bool,
-    lowp: bool, max_batches: int, obig: int, U: int, ablate: str = "",
+    lowp: bool, max_batches: int, obig: int, U: int, slab_u: int = 0,
+    ablate: str = "",
 ):
     S = BLOCK_SIZE
     US = U * S
@@ -145,8 +149,10 @@ def _render_kernel_v3(
 
     def start_batch0(slot, g):
         """Start batch-0 chain DMAs for tile g of the group whose rows sit
-        in row_smem[slot] (into ring slot 0 / sems[0, u])."""
-        if "noloop" in ablate:   # ablation: no chain stream at all
+        in row_smem[slot] (into ring slot 0 / sems[0, u]). Only used when
+        no slab is configured — with a slab the first slab_u batches never
+        touch the ring (a stray prefetch here would leak its semaphore)."""
+        if "noloop" in ablate or slab_u > 0:
             return
         nb_s = row_smem[slot, g * 8, 0]
         for u in range(U):
@@ -395,9 +401,7 @@ def _render_kernel_v3(
         rs = pl.ds(g * NPX, NPX)
         tile_x = group_x + g.astype(f32) * tsz
 
-        def body(k):
-            wait_batch(k, nb)
-            start_batch(k + 1, nb, g)
+        def chain_batch(k, pay_all):
             grp = jax.lax.rem(k, 2)
             sc, sp = grp, 1 - grp
 
@@ -410,10 +414,6 @@ def _render_kernel_v3(
                 bmin = jnp.where(live, jnp.minimum(bmin, mn), bmin)
                 bmax = jnp.where(live, jnp.maximum(bmax, mx), bmax)
 
-            # the DMA ring is a contiguous (PW, US) slab per slot (each
-            # block lands at its lane offset), so the batch payload is ONE
-            # VMEM read — no per-batch concatenation
-            pay_all = pay_vmem[grp]                             # (PW, US)
             live_v = lane_blk < (nb - k * U)                    # (1, US)
             F_all, rgbT, w_cur = eval_payload(
                 pay_all, live_v, tile_x, group_y, tsz, tsz)
@@ -536,6 +536,14 @@ def _render_kernel_v3(
                            > LOG_MIN_ALPHA).astype(jnp.int32)
             meta[0] = bmin
             meta[1] = bmax
+
+        def body(k):
+            # the DMA ring is a contiguous (PW, US) slab per slot (each
+            # block lands at its lane offset), so the batch payload is ONE
+            # VMEM read — no per-batch concatenation
+            wait_batch(k, nb)
+            start_batch(k + 1, nb, g)
+            chain_batch(k, pay_vmem[jax.lax.rem(k, 2)])
             return k + 1
 
         def cond(k):
@@ -546,8 +554,34 @@ def _render_kernel_v3(
 
         if early_exit:
             meta[4] = jnp.int32(1)
-        k_end = jax.lax.while_loop(cond, body, jnp.int32(0))
-        wait_batch(k_end, nb)   # drain the in-flight batch
+
+        # --- slab batches: the first slab_u batches read the XLA-pre-
+        # gathered contiguous slab (auto-pipelined by Pallas) — zero DMA
+        # machinery for the ~2 batches early exit leaves live on most
+        # tiles; only deeper tiles fall through to the DMA ring ----------
+        k0 = jnp.int32(0)   # slab batches actually executed: the while (and
+        # the final emit below) must resume from the EXECUTED count — a tile
+        # that exits inside the slab would otherwise emit a stale pend slot
+        for kk in range(slab_u):
+            go_k = (kk * U < nb) & (kk < max_batches)
+            if early_exit and kk > 0:
+                go_k = go_k & (meta[4] != 0)
+
+            @pl.when(go_k)
+            def _(kk=kk):
+                chain_batch(jnp.int32(kk),
+                            slab_ref[0, :, kk * US:(kk + 1) * US])
+            k0 = jnp.where(go_k, jnp.int32(kk + 1), k0)
+
+        ring_go = cond(k0)
+        if slab_u > 0:
+            @pl.when(ring_go)
+            def _():
+                start_batch(k0, nb, g)
+        k_end = jax.lax.while_loop(cond, body, k0)
+        @pl.when(ring_go)
+        def _():
+            wait_batch(k_end, nb)   # drain the in-flight ring batch
 
         # prefetch the NEXT tile's batch 0 now: either the next tile of this
         # group (rows already resident), or tile 0 of the next group (its
@@ -734,6 +768,7 @@ def render_tiles_v3(
     interpret: bool = False,
     pixel_offset_y=0,
     batch_u: int | None = None,
+    slab_u: int | None = None,
     ablate: str | None = None,
 ):
     """Launch the v3 kernel over the group grid -> (TG, GROUP*NPX, OUT_CH)
@@ -802,6 +837,33 @@ def render_tiles_v3(
     bigla = prepass_big_la(tile_bigs.bigpay, cfg, lowp=lowp,
                            pixel_offset_y=pixel_offset_y)
 
+    # Chain slab: the first slab_u batches of every tile's block list,
+    # gathered in XLA into ONE contiguous per-tile slab that Pallas
+    # auto-pipelines — no per-block DMA machinery for the batches early
+    # exit typically leaves live (measured ~8% of binned blocks at the
+    # headline); deeper tiles fall through to the in-kernel DMA ring.
+    if slab_u is None:
+        slab_u = int(_os.environ.get("GS_SLAB_U", 2))
+    if GROUP != 1:
+        slab_u = 0   # slab indexing is per true tile
+    slab_u = min(slab_u, max_batches)
+    if slab_u > 0:
+        Wb = slab_u * Un
+        ids = jnp.maximum(bins.tile_blocks[:, :Wb], 0).astype(jnp.int32)
+        slab = payload[ids.reshape(-1)]                 # (TG*Wb, PW, S)
+        slab = slab.reshape(TG, Wb, PAYLOAD_WIDTH, BLOCK_SIZE)
+        slab = slab.transpose(0, 2, 1, 3).reshape(
+            TG, PAYLOAD_WIDTH, Wb * BLOCK_SIZE)
+        slab_spec = pl.BlockSpec((1, PAYLOAD_WIDTH, Wb * BLOCK_SIZE),
+                                 lambda t: (t, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        slab = jnp.zeros((1, PAYLOAD_WIDTH, BLOCK_SIZE), payload.dtype)
+        slab_spec = pl.BlockSpec((1, PAYLOAD_WIDTH, BLOCK_SIZE),
+                                 lambda t: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    kern = functools.partial(kern, slab_u=slab_u)
+
     return pl.pallas_call(
         kern,
         grid=(TG,),
@@ -810,6 +872,7 @@ def render_tiles_v3(
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
+            slab_spec,
             pl.BlockSpec((NPX, 8), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((NPX, 8), lambda t: (0, 0),
@@ -843,7 +906,7 @@ def render_tiles_v3(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(rows, payload, tile_bigs.bigpay, bigla, jnp.asarray(pixf_b_np),
+    )(rows, payload, tile_bigs.bigpay, bigla, slab, jnp.asarray(pixf_b_np),
       jnp.asarray(pixf_lo_np), jnp.asarray(lt_ob_np))
 
 
