@@ -94,6 +94,9 @@ def main():
 
     @jax.jit
     def run(cloud, unis, reps):
+        # reps rides as a TRACED scalar (dynamic fori_loop bound): the
+        # 1-rep and n-rep timing calls then share ONE compiled program —
+        # a static reps retraced per value and doubled the cold compile.
         def body(i, acc):
             uni = jax.tree.map(lambda x: x[i % n_frames], unis)
             acc_i, pairs, mx = one_frame(cloud, uni)
@@ -102,17 +105,17 @@ def main():
 
     log("compiling...")
     t0 = time.perf_counter()
-    float(np.asarray(run(cloud, unis, 1)))  # host read forces execution on
-    log(f"compile+first frame: {time.perf_counter()-t0:.1f}s")  # axon tunnel
-    float(np.asarray(run(cloud, unis, n_frames)))
+    float(np.asarray(run(cloud, unis, jnp.int32(1))))  # host read forces
+    log(f"compile+first frame: {time.perf_counter()-t0:.1f}s")  # execution
+    float(np.asarray(run(cloud, unis, jnp.int32(n_frames))))
 
     times_1, times_n = [], []
     for _ in range(3):
         t0 = time.perf_counter()
-        float(np.asarray(run(cloud, unis, 1)))
+        float(np.asarray(run(cloud, unis, jnp.int32(1))))
         times_1.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        float(np.asarray(run(cloud, unis, n_frames)))
+        float(np.asarray(run(cloud, unis, jnp.int32(n_frames))))
         times_n.append(time.perf_counter() - t0)
     dt = (min(times_n) - min(times_1)) / (n_frames - 1)
     fps = 1.0 / dt

@@ -384,20 +384,39 @@ def build_block_frame2(prj: ProjectedSplats, cfg: RasterizerConfig,
     # all — coverage extents rebuild from the carried conic/opacity)
     key = jnp.where(valid_sb & ~taken,
                     ((morton & 0x7FFF) << 16) | depth_sb, inf)
-    operands = (key,
-                ipos_sb[..., 0], ipos_sb[..., 1],
-                _pack_f16(conic[..., 0], conic[..., 1]),
-                _pack_f16(conic[..., 2], color[..., 3]),
-                _pack_rgb9e5(color[..., 0], color[..., 1], color[..., 2]),
-                idx)
-    s1 = jax.lax.sort(operands, dimension=1, num_keys=1, is_stable=True)
+    u32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint32)  # noqa: E731
+    payload_words = (
+        u32(ipos_sb[..., 0]), u32(ipos_sb[..., 1]),
+        _pack_f16(conic[..., 0], conic[..., 1]),
+        _pack_f16(conic[..., 2], color[..., 3]),
+        _pack_rgb9e5(color[..., 0], color[..., 1], color[..., 2]))
+    import os as _os
+    if _os.environ.get("GS_BLOCKS_GATHER", "0") == "1":
+        # perm-sort variant (GS_BLOCKS_GATHER=1, trace-time knob for TPU
+        # A/B): sort only (key, source idx) — 2 operands instead of 7 —
+        # then apply the permutation with ONE packed take_along_axis.
+        # Wins iff the TPU gather of (SB, sb_size, 5) u32 beats dragging
+        # 5 payload operands through the row sort's merge network.
+        key_s, idx_g = jax.lax.sort((key, idx), dimension=1, num_keys=1,
+                                    is_stable=True)
+        col = (idx_g - jnp.arange(SB, dtype=jnp.uint32)[:, None]
+               * jnp.uint32(sb_size)).astype(jnp.int32)
+        packed = jnp.stack(payload_words, axis=-1)   # (SB, sb_size, 5)
+        g5 = jnp.take_along_axis(packed, col[..., None], axis=1)
+        s1 = (key_s,) + tuple(g5[..., j] for j in range(5)) + (idx_g,)
+    else:
+        s1 = jax.lax.sort((key,) + payload_words + (idx,),
+                          dimension=1, num_keys=1, is_stable=True)
 
     def blk(x):  # (SB, sb_size) -> (B, S)
         return x.reshape(B, S)
 
+    def f32b(w):
+        return jax.lax.bitcast_convert_type(w, jnp.float32)
+
     key_b = blk(s1[0])
     depth_b = key_b & 0xFFFF
-    ix, iy = blk(s1[1]), blk(s1[2])
+    ix, iy = f32b(blk(s1[1])), f32b(blk(s1[2]))
     ca, cb = _unpack_f16(blk(s1[3]))
     cc, op = _unpack_f16(blk(s1[4]))
     r, g, b = _unpack_rgb9e5(blk(s1[5]))
