@@ -846,7 +846,9 @@ def render_tiles_v3(
         slab_u = int(_os.environ.get("GS_SLAB_U", 2))
     if GROUP != 1:
         slab_u = 0   # slab indexing is per true tile
-    slab_u = min(slab_u, max_batches)
+    # only FULL batches can ride the slab (a partial final batch would need
+    # more block columns than tile_blocks carries); the ring serves the tail
+    slab_u = min(slab_u, C2 // Un)
     if slab_u > 0:
         Wb = slab_u * Un
         ids = jnp.maximum(bins.tile_blocks[:, :Wb], 0).astype(jnp.int32)
