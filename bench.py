@@ -70,6 +70,12 @@ def main():
                                    scale_range=(0.004, 0.03), surfaces=True)
         if quality == "fast":
             cloud = mortonize(cloud)
+    if quality == "fast":
+        # resident bf16 SH copy: halves projection's dominant HBM read
+        # (ops/sh.py upcasts on read; band math stays f32)
+        import dataclasses
+        cloud = dataclasses.replace(
+            cloud, sh=cloud.sh.astype(jnp.bfloat16))
     log(f"scene built in {time.perf_counter()-t0:.1f}s")
 
     cams = gs.orbit_trajectory(n_frames, radius=5.0, target=(0, 0, 6.0))

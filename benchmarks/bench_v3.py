@@ -120,6 +120,8 @@ def main():
 
     t0 = time.perf_counter()
     cloud = get_cloud(n)
+    import dataclasses
+    cloud = dataclasses.replace(cloud, sh=cloud.sh.astype(jnp.bfloat16))
     uni = make_uniforms(gs.orbit_trajectory(1, radius=5.0,
                                             target=(0, 0, 6.0))[0], cfg)
     print(f"scene ready {time.perf_counter()-t0:.0f}s", flush=True)

@@ -175,7 +175,8 @@ class Rasterizer:
         t0 = time.perf_counter()
         if self.quality == "fast":
             from ..ops.fast_pipeline import render_frame_fast_staged
-            out = render_frame_fast_staged(self.cloud, self._uniforms(),
+            out = render_frame_fast_staged(self._render_cloud(),
+                                           self._uniforms(),
                                            self.config, stage_timer=timer)
         elif sync:
             from ..ops.pipeline import render_frame_staged
@@ -194,6 +195,22 @@ class Rasterizer:
                 out = regrown  # the triggering frame itself must be un-truncated
         self.last_frame = out
         return out
+
+    def _render_cloud(self):
+        """Fast-path render view of the model: SH bands cast ONCE to a
+        resident bf16 copy (the 16x3-coefficient f32 read dominates
+        projection HBM traffic; ops/sh.py upcasts on read so band math
+        stays f32). self.cloud keeps full precision for picking, state
+        save and .ply export; the copy refreshes when streaming swaps the
+        cloud."""
+        c = self.cloud
+        if getattr(self, "_fast_cloud_src", None) is not c:
+            import dataclasses
+            import jax.numpy as jnp
+            self._fast_cloud = dataclasses.replace(
+                c, sh=c.sh.astype(jnp.bfloat16))
+            self._fast_cloud_src = c
+        return self._fast_cloud
 
     def _check_overflow(self, out):
         """Exact mode silently truncates a tile's list at tile_capacity;

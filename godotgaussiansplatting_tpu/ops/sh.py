@@ -29,6 +29,11 @@ def eval_sh_color(view_dir: jnp.ndarray, sh: jnp.ndarray, degree: int = 3) -> jn
               here for BASELINE config 1's SH-0 run).
     Returns (N, 3) linear RGB, clamped at 0 (gsplat_projection.glsl:100).
     """
+    # bf16 coefficient arrays are accepted (the fast path keeps a resident
+    # half-precision SH copy — its 1.1 GB f32 read dominates projection HBM
+    # traffic at 5.8M splats); the upcast fuses into this elementwise chain
+    # so the band math always accumulates in f32.
+    sh = sh.astype(jnp.float32)
     x = view_dir[:, 0:1]
     y = view_dir[:, 1:2]
     z = view_dir[:, 2:3]
