@@ -27,6 +27,17 @@ from .projection import project_splats
 from .render_pallas3 import assemble_image_v3, render_tiles_v3
 
 
+def _slim_projection(prj):
+    """Drop ProjectedSplats fields the fast path never reads (per-splat
+    tile rect and square radius — blocks2 rebuilds anisotropic extents from
+    the carried conic/opacity): the stage barrier would otherwise force
+    ~116 MB/frame of dead materialization at the 5.8M headline. The exact
+    pipeline (ops/pipeline.py) keeps the full structure."""
+    return prj._replace(
+        rect=jnp.zeros((1, 4), prj.rect.dtype),
+        radius=jnp.zeros((1,), prj.radius.dtype))
+
+
 class FastFrameOutput(NamedTuple):
     image: jnp.ndarray          # (H, W, 4) f32
     stats: FrameStats
@@ -59,6 +70,7 @@ def render_frame_fast(
     # Stage barriers: without them XLA tries to fuse the whole frame into one
     # scheduling problem and compile time explodes at multi-million-splat
     # shapes (>15 min vs ~3 min split; no measurable runtime cost).
+    prj = _slim_projection(prj)
     prj = type(prj)(*jax.lax.optimization_barrier(tuple(prj)))
     bf, bigs = build_block_frame2(prj, cfg, num_splats=cloud.num_splats,
                                   big_cap=cfg.big_capacity)
@@ -107,10 +119,10 @@ def render_frame_fast_jit(cloud, uniforms, cfg, supertile_cap=1024,
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _stage_project(cloud, uniforms, cfg):
-    return project_splats(
+    return _slim_projection(project_splats(
         cloud.means, cloud.cov3d, cloud.opacity, cloud.sh, cloud.upload_time,
         uniforms.view, uniforms.proj, uniforms.camera_pos,
-        uniforms.model_scale, uniforms.time, cfg)
+        uniforms.model_scale, uniforms.time, cfg))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "num_splats"))
