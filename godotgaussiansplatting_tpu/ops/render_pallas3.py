@@ -1,5 +1,6 @@
-"""Pallas TPU render kernel v3: batch-exact compositing + resident big lanes,
-processed as GROUPs of 4 horizontally contiguous tiles per grid step.
+"""Pallas TPU render kernel v3: batch-exact compositing + resident big lanes.
+(The grid is parameterized over GROUPs of horizontally contiguous tiles;
+GROUP=1 — one tile per grid step — measured fastest, see ops/bigbin.py.)
 
 TPU-native counterpart of `gsplat_render.glsl` (third generation; supersedes
 ops/render_pallas2.py). Two structural problems of v2 drove this redesign,
@@ -31,15 +32,17 @@ v3 composites CHAIN blocks per batch of U=4 (512 lanes):
              consecutive batches don't overlap in depth — the common case.
 
 BIG-SPLAT lanes (radius >= BIG_RADIUS) are RESIDENT per tile GROUP
-(ops/bigbin.py: one exactly depth-sorted lane list per 4x1-tile window):
+(ops/bigbin.py: one exactly depth-sorted lane list per GROUP-tile window):
 their mutual order is exact by construction (one in-VMEM prefix matmul over
-all G*NPX group pixels), and chain<->big occlusion is exchanged per chain
-batch — each (chain block, big lane) pair interacts in exactly one
-direction, so energy is conserved. Early exit measured only 8% of binned
-blocks actually processed at the headline, which made PER-TILE FIXED COSTS
-(row/big DMA waits, the big pre-pass, present) the frame floor — grouping
-amortizes exactly those: one rows DMA, one big pre-pass, one final big
-emit, one present per 4 tiles, while the chain stream stays per-tile.
+all G*NPX group pixels), their screen-space log-alpha maps are precomputed
+by ONE batched XLA prepass (prepass_big_la) and streamed through a DMA
+ring, and chain<->big occlusion is exchanged per chain batch — each
+(chain block, big lane) pair interacts in exactly one direction, so energy
+is conserved. Early exit measured only ~8% of binned blocks actually
+processed at the headline, which made PER-TILE FIXED COSTS the frame
+floor; the chain stream therefore reads its first slab_u batches from an
+XLA-pre-gathered contiguous slab (Pallas-auto-pipelined, no in-kernel DMA
+machinery) and only deeper tiles touch the per-block DMA ring.
 
 All in-window ordering follows a packed 32-bit rank (depth16 << 16 |
 source idx >> 7): one vector compare per mask, matching the exact
