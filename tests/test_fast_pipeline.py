@@ -86,6 +86,28 @@ def test_random_scene_psnr():
 
 
 @pytest.mark.slow
+def test_blocks_gather_variant_bit_identical():
+    """GS_BLOCKS_GATHER=1 (perm-sort + packed payload gather in
+    ops/blocks2.py) must produce bit-identical frames to the variadic-sort
+    default — it is a pure data-movement A/B knob for device timing."""
+    import os
+    cfg = RasterizerConfig(width=64, height=64)
+    cloud = _mortonize(synthetic_scene(2000, seed=11, extent=2.2,
+                                       scale_range=(0.01, 0.1)))
+    uni = make_uniforms(Camera.reset_pose(), cfg)
+    assert os.environ.get("GS_BLOCKS_GATHER", "0") == "0"
+    base = np.asarray(render_frame_fast(cloud, uni, cfg,
+                                        interpret=True).image)
+    os.environ["GS_BLOCKS_GATHER"] = "1"
+    try:
+        alt = np.asarray(render_frame_fast(cloud, uni, cfg,
+                                           interpret=True).image)
+    finally:
+        del os.environ["GS_BLOCKS_GATHER"]
+    np.testing.assert_array_equal(alt, base)
+
+
+@pytest.mark.slow
 def test_sparse_first_tiles_finite():
     """Regression: the render kernel's chain payload ring is read beyond a
     tile's block count (gated to zero mass) — at the very first tiles those
