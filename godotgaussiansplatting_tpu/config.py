@@ -80,6 +80,11 @@ class RasterizerConfig:
     # dropped far tail is counted in FrameStats.num_overflow. Must be a
     # multiple of 128 (Mosaic DMA slices along lanes require 128 alignment).
     big_tile_capacity: int = 128
+    # Fast path render kernel generation: "v3" (one tile per grid step,
+    # ops/render_pallas3.py) or "v4" (GT=4 tiles composited in LOCKSTEP per
+    # grid step — shared MXU issue slots and per-step fixed costs,
+    # ops/render_pallas4.py). Identical ordering semantics.
+    kernel: str = "v3"
 
     @property
     def target_size(self) -> Tuple[int, int]:

@@ -83,11 +83,19 @@ def render_frame_fast(
     bins = type(bins)(*jax.lax.optimization_barrier(tuple(bins)))
     tile_bigs = type(tile_bigs)(*jax.lax.optimization_barrier(
         tuple(tile_bigs)))
-    tiles = render_tiles_v3(
-        bf.payload, bins, tile_bigs, uniforms.heatmap_factor, cfg,
-        early_exit=early_exit, lowp=lowp, interpret=interpret,
-        batch_u=batch_u)
-    image, t_final = assemble_image_v3(tiles, cfg)
+    if cfg.kernel == "v4":
+        from .render_pallas4 import assemble_image_v4, render_tiles_v4
+        tiles = render_tiles_v4(
+            bf.payload, bins, tile_bigs, uniforms.heatmap_factor, cfg,
+            early_exit=early_exit, lowp=lowp, interpret=interpret,
+            batch_u=batch_u)
+        image, t_final = assemble_image_v4(tiles, cfg)
+    else:
+        tiles = render_tiles_v3(
+            bf.payload, bins, tile_bigs, uniforms.heatmap_factor, cfg,
+            early_exit=early_exit, lowp=lowp, interpret=interpret,
+            batch_u=batch_u)
+        image, t_final = assemble_image_v3(tiles, cfg)
     stats = FrameStats(
         num_pairs=bf.num_culled_pairs,
         num_overflow=bins.overflow + tile_bigs.overflow,
@@ -142,9 +150,17 @@ def _stage_bin(bf, bigs, cfg, supertile_cap, tile_cap, obig):
 @functools.partial(jax.jit, static_argnames=("cfg", "early_exit", "lowp"))
 def _stage_render(bf, bins, tile_bigs, heatmap_factor, cfg, early_exit,
                   lowp):
-    tiles = render_tiles_v3(bf.payload, bins, tile_bigs, heatmap_factor,
-                            cfg, early_exit=early_exit, lowp=lowp)
-    image, t_final = assemble_image_v3(tiles, cfg)
+    if cfg.kernel == "v4":
+        from .render_pallas4 import assemble_image_v4, render_tiles_v4
+        tiles = render_tiles_v4(bf.payload, bins, tile_bigs,
+                                heatmap_factor, cfg,
+                                early_exit=early_exit, lowp=lowp)
+        image, t_final = assemble_image_v4(tiles, cfg)
+    else:
+        tiles = render_tiles_v3(bf.payload, bins, tile_bigs,
+                                heatmap_factor, cfg,
+                                early_exit=early_exit, lowp=lowp)
+        image, t_final = assemble_image_v3(tiles, cfg)
     stats = FrameStats(
         num_pairs=bf.num_culled_pairs,
         num_overflow=bins.overflow + tile_bigs.overflow,

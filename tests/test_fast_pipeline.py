@@ -108,6 +108,27 @@ def test_blocks_gather_variant_bit_identical():
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("wh", [(128, 176), (144, 176)])
+def test_v4_lockstep_matches_v3(wh):
+    """kernel="v4" (GT=4 tiles per lockstep grid step,
+    ops/render_pallas4.py) must be BIT-identical to v3: same batch
+    boundaries, ordering masks and exchange semantics per tile — only the
+    MXU issue schedule and fixed-cost amortization differ. Covers an odd
+    tile count (144 -> gx=9, one padded lockstep slot)."""
+    w, h = wh
+    cloud = _mortonize(synthetic_scene(3000, seed=9, extent=2.5,
+                                       scale_range=(0.01, 0.1)))
+    cfg3 = RasterizerConfig(width=w, height=h)
+    cfg4 = RasterizerConfig(width=w, height=h, kernel="v4")
+    uni = make_uniforms(Camera.reset_pose(), cfg3)
+    v3 = render_frame_fast(cloud, uni, cfg3, interpret=True)
+    v4 = render_frame_fast(cloud, uni, cfg4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(v4.image),
+                                  np.asarray(v3.image))
+    assert int(v4.stats.num_pairs) == int(v3.stats.num_pairs)
+
+
+@pytest.mark.slow
 def test_sparse_first_tiles_finite():
     """Regression: the render kernel's chain payload ring is read beyond a
     tile's block count (gated to zero mass) — at the very first tiles those
