@@ -32,8 +32,13 @@ def main():
     from godotgaussiansplatting_tpu.ops.blocks2 import build_block_frame2
     from godotgaussiansplatting_tpu.ops.bigbin import bin_bigs
     from godotgaussiansplatting_tpu.ops.binning2 import bin_blocks2
-    from godotgaussiansplatting_tpu.ops.render_pallas3 import (
-        assemble_image_v3, render_tiles_v3)
+    if os.environ.get("GS_KERNEL", "v3") == "v4":
+        from godotgaussiansplatting_tpu.ops.render_pallas4 import (
+            assemble_image_v4 as assemble_image_v3,
+            render_tiles_v4 as render_tiles_v3)
+    else:
+        from godotgaussiansplatting_tpu.ops.render_pallas3 import (
+            assemble_image_v3, render_tiles_v3)
 
     n = 5_800_000
     cfg = gs.RasterizerConfig(width=1920, height=1080, quality="fast")

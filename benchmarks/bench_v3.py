@@ -195,13 +195,20 @@ def main():
             (bf, bigs))
         print(f"bin2   : {tn*1e3:7.2f} ms", flush=True)
 
-    # --- render -------------------------------------------------------------
+    # --- render (GS_KERNEL=v4 switches to the lockstep kernel) ---------------
+    if os.environ.get("GS_KERNEL", "v3") == "v4":
+        from godotgaussiansplatting_tpu.ops.render_pallas4 import (
+            assemble_image_v4 as asm, render_tiles_v4 as rt)
+        kcfg = cfg.replace(kernel="v4")
+    else:
+        asm, rt, kcfg = assemble_image_v3, render_tiles_v3, cfg
+
     def st_render(i, op):
         payload, bn, bg = op
-        tiles = render_tiles_v3(
+        tiles = rt(
             payload, bn, bg, jnp.float32(0.0) + i.astype(jnp.float32)
-            * 1e-12, cfg)
-        img, _ = assemble_image_v3(tiles, cfg)
+            * 1e-12, kcfg)
+        img, _ = asm(tiles, kcfg)
         return img[::256, ::256, 0].sum()
     tr = measure(stage_loop(st_render, lambda x: x),
                  (bf.payload, bins, tbg), k_hi=5)

@@ -4,7 +4,7 @@
 # Phases: micro stages stages_noslab ablate prep
 set -u
 cd "$(dirname "$0")/.."
-phases="${@:-micro stages stages_noslab ablate prep}"
+phases="${@:-micro stages stages_v4 stages_noslab ablate prep}"
 
 run() {
   name="$1"; shift
@@ -17,7 +17,10 @@ for p in $phases; do
   case "$p" in
     micro)        run micro python benchmarks/micro_sortgather.py ;;
     stages)       run stages python benchmarks/bench_v3.py ;;
+    stages_v4)    GS_KERNEL=v4 run stages_v4 python benchmarks/bench_v3.py ;;
     stages_noslab) GS_SLAB_U=0 run stages_noslab python benchmarks/bench_v3.py ;;
+    ablate_v4)    GS_KERNEL=v4 run ablate_v4 python benchmarks/ablate_r3.py \
+                    "" "noloop" "eval,cums,corr,bigx,pend,emit,bigpre" ;;
     ablate)       run ablate python benchmarks/ablate_r3.py "" "noloop" \
                     "noloop,nobigdma,bigpre" \
                     "eval,cums,corr,bigx,pend,emit,bigpre" ;;
