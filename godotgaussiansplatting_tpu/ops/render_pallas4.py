@@ -54,7 +54,12 @@ from .blocks2 import BLOCK_SIZE, DEPTH_INVALID, GATE_OFF, PAYLOAD_WIDTH
 from .render_pallas3 import (ALPHA_MAX, LOG_MIN_ALPHA, OUT_CH,
                              default_batch_u, pack_tile_rows_v3)
 
-GT = 4  # tiles per lockstep grid step
+import os as _os
+
+# Tiles per lockstep grid step. 4 amortizes MXU latency 4x at ~11 MB VMEM
+# scratch; GS_GT=2 halves VMEM pressure (read ONCE at import — a process
+# restart is required to change it, like any static shape).
+GT = int(_os.environ.get("GS_GT", "4"))
 
 
 def _render_kernel_v4(
