@@ -52,7 +52,9 @@ def main():
     height = int(os.environ.get("BENCH_HEIGHT", 1080))
     quality = os.environ.get("BENCH_QUALITY", "fast")
 
-    cfg = gs.RasterizerConfig(width=width, height=height, quality=quality)
+    kernel = os.environ.get("GS_KERNEL", "v3")
+    cfg = gs.RasterizerConfig(width=width, height=height, quality=quality,
+                              kernel=kernel)
     log(f"scene: {n_splats} splats, {width}x{height}, quality={quality}, "
         f"tiles={cfg.tile_dims}, backend={jax.default_backend()}")
 
