@@ -4,7 +4,8 @@
 # Phases: micro stages stages_noslab ablate prep
 set -u
 cd "$(dirname "$0")/.."
-phases="${@:-micro stages stages_v4 stages_noslab ablate prep}"
+# stages_v4 first: one number decides the default kernel for bench.py
+phases="${@:-stages_v4 stages micro stages_noslab ablate prep}"
 
 run() {
   name="$1"; shift
