@@ -364,6 +364,11 @@ def _render_kernel_v4(
             else:
                 has_big_x = live_g & has_big[g]
             tot_g = jnp.sum(la[:, sl], axis=1, keepdims=True)  # (NPX, 1)
+            # big mass certainly in front of this batch — shared by the
+            # disjoint exchange add and the exit metric (one reduce)
+            bfm_g = jnp.sum(bigla_ref[0, :, bsl].astype(f32)
+                            * (d_big[:, bsl] < bminf),
+                            axis=1, keepdims=True)            # (NPX, 1)
 
             @pl.when(strad)
             def _(g=g, sl=sl, bsl=bsl, w_g=w_g, lac_g=lac_g):
@@ -377,11 +382,8 @@ def _render_kernel_v4(
                     lac_g, mask_cb, (((1,), (0,)), ((), ())),
                     preferred_element_type=f32)
             @pl.when(has_big_x & ~strad)
-            def _(g=g, bsl=bsl, tot_g=tot_g, bminf=bminf, bmaxf=bmaxf):
-                bfm = jnp.sum(bigla_ref[0, :, bsl].astype(f32)
-                              * (d_big[:, bsl] < bminf),
-                              axis=1, keepdims=True)         # (NPX, 1)
-                pend_c[sc, :, g:g + 1] += bfm
+            def _(g=g, bsl=bsl, tot_g=tot_g, bfm_g=bfm_g, bmaxf=bmaxf):
+                pend_c[sc, :, g:g + 1] += bfm_g
                 big_z[:, bsl] += tot_g * (d_big[:, bsl] > bmaxf).astype(f32)
 
             # lag-1 corrections (per-tile gating, v3 semantics)
@@ -411,12 +413,8 @@ def _render_kernel_v4(
             tcar = tvals[:, g:g + 1] + tot_g
             tvals[:, g:g + 1] = tcar
             if early_exit:
-                bexit = jnp.where(
-                    has_big[g],
-                    jnp.sum(bigla_ref[0, :, bsl].astype(f32)
-                            * (d_big[:, bsl] < bminf),
-                            axis=1, keepdims=True),
-                    jnp.zeros((NPX, 1), f32))
+                bexit = jnp.where(has_big[g], bfm_g,
+                                  jnp.zeros((NPX, 1), f32))
                 alive = (jnp.max(tcar + bexit)
                          > LOG_MIN_ALPHA).astype(jnp.int32)
                 meta[5 * g + 4] = jnp.where(live_flag(g), alive, 0)
