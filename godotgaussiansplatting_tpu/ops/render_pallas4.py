@@ -127,6 +127,13 @@ def _render_kernel_v4(
                               row_sems.at[0]).start()
         pltpu.make_async_copy(rows_hbm.at[0], row_smem.at[0],
                               row_sems.at[0]).wait()
+    @pl.when(t > 0)
+    def _():
+        # pair the start issued at step t-1 for THIS slot: the wait must
+        # happen before nb/header reads below (hardware DMAs are async;
+        # interpret mode completes them inline and hides a missing wait)
+        pltpu.make_async_copy(rows_hbm.at[t], row_smem.at[slot_r],
+                              row_sems.at[slot_r]).wait()
     @pl.when(t + 1 < num_groups)
     def _():
         pltpu.make_async_copy(rows_hbm.at[t + 1], row_smem.at[1 - slot_r],
