@@ -81,10 +81,23 @@ class RasterizerConfig:
     # multiple of 128 (Mosaic DMA slices along lanes require 128 alignment).
     big_tile_capacity: int = 128
     # Fast path render kernel generation: "v3" (one tile per grid step,
-    # ops/render_pallas3.py) or "v4" (GT=4 tiles composited in LOCKSTEP per
-    # grid step — shared MXU issue slots and per-step fixed costs,
+    # ops/render_pallas3.py) or "v4" (lockstep_gt tiles composited in LOCKSTEP
+    # per grid step — shared MXU issue slots and per-step fixed costs,
     # ops/render_pallas4.py). Identical ordering semantics.
     kernel: str = "v3"
+    # Fast path: blocks per in-kernel batch (U). None = auto by tile size
+    # (ops/render_pallas3.default_batch_u). Static shape knob: changing it
+    # re-traces. The GS_BATCH_U env var overrides it for benchmark sweeps only.
+    batch_u: Optional[int] = None
+    # Fast path: the first slab_u batches of every tile's chain are
+    # pre-gathered by XLA into one contiguous slab that Pallas auto-pipelines
+    # (0 disables; the in-kernel DMA ring serves the tail either way).
+    # GS_SLAB_U env var overrides for benchmark sweeps only.
+    slab_u: int = 2
+    # v4 kernel only: tiles composited in lockstep per grid step (VMEM
+    # scratch scales with it; 4 ~= 11 MB). GS_GT env var overrides for
+    # benchmark sweeps only.
+    lockstep_gt: int = 4
 
     @property
     def target_size(self) -> Tuple[int, int]:

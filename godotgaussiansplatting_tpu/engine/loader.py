@@ -14,6 +14,7 @@ loader) instead of a scalar loop, so far fewer chunks are needed.
 
 from __future__ import annotations
 
+import functools
 import threading
 import time
 from typing import Callable, Optional
@@ -26,10 +27,13 @@ from ..models import ply as plyio
 from ..models.splats import PAD_MULTIPLE, SplatCloud, build_covariance
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def _write_chunk(buf, upd, start):
-    # donate_argnums via jit wrapper below would retrace per dtype; rely on
-    # XLA aliasing from the functional update instead (single consumer).
+    # buf is DONATED: XLA aliases input to output, so each chunk write is
+    # O(chunk), not a full-SoA copy (at the 5.8M headline the SoA is
+    # ~1.6 GB; 64 chunk writes copying it would move ~100 GB). The donated
+    # handle (the previous cloud's array) is dead afterwards — consumers
+    # synchronize via StreamingLoader.write_lock before dispatching frames.
     return jax.lax.dynamic_update_slice_in_dim(buf, upd, start, axis=0)
 
 
@@ -58,6 +62,13 @@ class StreamingLoader:
         self._time_fn = time_fn
         self._cancel = False
         self._lock = threading.Lock()
+        # Held while a chunk write donates the previous cloud's buffers;
+        # frame dispatchers take it while grabbing self.cloud AND enqueueing
+        # work on it, so they never dispatch on a donated (deleted) array.
+        # The reference instead writes the live GPU buffer mid-frame by
+        # design (ply_file.gd:34-76's accepted race); device-side in-order
+        # execution gives us the same overlap without the hazard.
+        self.write_lock = threading.RLock()
         self.num_splats_loaded = 0
 
         n = ply.size
@@ -119,17 +130,20 @@ class StreamingLoader:
                 break
             cov6 = build_covariance(scales[lo:hi], quats[lo:hi])
             now = np.float32(self._time_fn())
-            cl = self.cloud
-            self.cloud = SplatCloud(
-                means=_write_chunk(cl.means, jnp.asarray(means[lo:hi]), lo),
-                cov3d=_write_chunk(cl.cov3d, jnp.asarray(cov6), lo),
-                opacity=_write_chunk(cl.opacity, jnp.asarray(opac[lo:hi]), lo),
-                sh=_write_chunk(cl.sh, jnp.asarray(sh[lo:hi]), lo),
-                upload_time=_write_chunk(
-                    cl.upload_time,
-                    jnp.full((hi - lo,), now, jnp.float32), lo),
-                num_splats=n,
-            )
+            with self.write_lock:
+                cl = self.cloud
+                self.cloud = SplatCloud(
+                    means=_write_chunk(cl.means,
+                                       jnp.asarray(means[lo:hi]), lo),
+                    cov3d=_write_chunk(cl.cov3d, jnp.asarray(cov6), lo),
+                    opacity=_write_chunk(cl.opacity,
+                                         jnp.asarray(opac[lo:hi]), lo),
+                    sh=_write_chunk(cl.sh, jnp.asarray(sh[lo:hi]), lo),
+                    upload_time=_write_chunk(
+                        cl.upload_time,
+                        jnp.full((hi - lo,), now, jnp.float32), lo),
+                    num_splats=n,
+                )
             with self._lock:
                 self.num_splats_loaded += hi - lo
         if self._cancel:

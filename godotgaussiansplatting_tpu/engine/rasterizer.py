@@ -169,24 +169,34 @@ class Rasterizer:
         gaussian_splatting_rasterizer.gd:135-160; harvested by debug_info).
         The calibrated per-dispatch overhead is subtracted from each stage
         (see utils/telemetry.dispatch_overhead_ms)."""
-        if self.loader is not None:
-            self.cloud = self.loader.cloud  # pick up streamed chunks
+        import contextlib
+        # While streaming, chunk writes DONATE the previous cloud's buffers
+        # (engine/loader._write_chunk): hold the loader's write lock from
+        # cloud snapshot through dispatch so we never enqueue work on a
+        # donated (deleted) array.
+        lock = (self.loader.write_lock if self.loader is not None
+                else contextlib.nullcontext())
         timer = make_stage_timer(self.timings) if sync else None
         t0 = time.perf_counter()
-        if self.quality == "fast":
-            from ..ops.fast_pipeline import render_frame_fast_staged
-            out = render_frame_fast_staged(self._render_cloud(),
-                                           self._uniforms(),
-                                           self.config, stage_timer=timer)
-        elif sync:
-            from ..ops.pipeline import render_frame_staged
-            out = render_frame_staged(self.cloud, self._uniforms(),
-                                      self.config,
-                                      tile_capacity=self.tile_capacity,
-                                      stage_timer=timer)
-        else:
-            out = render_frame_jit(self.cloud, self._uniforms(), self.config,
-                                   tile_capacity=self.tile_capacity)
+        with lock:
+            if self.loader is not None:
+                self.cloud = self.loader.cloud  # pick up streamed chunks
+            if self.quality == "fast":
+                from ..ops.fast_pipeline import render_frame_fast_staged
+                out = render_frame_fast_staged(self._render_cloud(),
+                                               self._uniforms(),
+                                               self.config,
+                                               stage_timer=timer)
+            elif sync:
+                from ..ops.pipeline import render_frame_staged
+                out = render_frame_staged(self.cloud, self._uniforms(),
+                                          self.config,
+                                          tile_capacity=self.tile_capacity,
+                                          stage_timer=timer)
+            else:
+                out = render_frame_jit(self.cloud, self._uniforms(),
+                                       self.config,
+                                       tile_capacity=self.tile_capacity)
         if sync:
             force_readback(out.image)
             self.timings.record("Frame", (time.perf_counter() - t0) * 1e3)
@@ -268,13 +278,20 @@ class Rasterizer:
         if not (0 <= sx < gx and 0 <= sy < gy):
             return np.full(3, np.inf, np.float32)
         tile_id = sy * gx + sx
-        if self.quality == "fast":
-            from ..ops.fast_pipeline import pick_splat_position_fast
-            pos = np.asarray(pick_splat_position_fast(
-                self.last_frame, tile_id, self.cloud, self.model_scale,
-                self.config))
-        else:
-            pos = np.asarray(pick_splat_position(self.last_frame, tile_id))
+        import contextlib
+        lock = (self.loader.write_lock if self.loader is not None
+                else contextlib.nullcontext())
+        with lock:  # picking reads self.cloud, which streaming donates
+            if self.loader is not None:
+                self.cloud = self.loader.cloud
+            if self.quality == "fast":
+                from ..ops.fast_pipeline import pick_splat_position_fast
+                pos = np.asarray(pick_splat_position_fast(
+                    self.last_frame, tile_id, self.cloud, self.model_scale,
+                    self.config))
+            else:
+                pos = np.asarray(pick_splat_position(self.last_frame,
+                                                     tile_id))
         if not np.all(np.isfinite(pos)):
             return np.full(3, np.inf, np.float32)
         # Host transform: basis_override⁻¹ · (−x, −y, z)  (:171)

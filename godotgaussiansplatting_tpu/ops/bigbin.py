@@ -1,15 +1,15 @@
-"""Per-GROUP big-splat lane binning (v3 fast path).
+"""Per-tile big-splat lane binning (v3/v4 fast path).
 
-Bins the extracted BigSet lanes (ops/blocks2.py) directly per render GROUP
-(4 horizontally contiguous tiles, the render kernel's grid step) at LANE
-granularity — the reference's own structure (one duplicated sort pair per
-covered tile, gsplat_projection.glsl:161's rect expansion +
-radix_sort_*.glsl's global order) applied to only the ~0.5% big subset
-where block sharing loses. Per group the result is an exactly depth-sorted,
-100%-occupancy lane list; the render kernel keeps it resident for its 4
-tiles (ONE shared pre-pass) and blends it exactly against each tile's
-chain stream (ops/render_pallas3.py); a per-lane coverage gate scopes
-lanes to the pixels they actually reach.
+Bins the extracted BigSet lanes (ops/blocks2.py) per render GROUP of
+horizontally contiguous tiles at LANE granularity — the reference's own
+structure (one duplicated sort pair per covered tile,
+gsplat_projection.glsl:161's rect expansion + radix_sort_*.glsl's global
+order) applied to only the ~0.5% big subset where block sharing loses.
+GROUP is 1 (see the measured note below), so in practice each TILE gets
+an exactly depth-sorted, 100%-occupancy lane list; the render kernel
+keeps it resident and blends it exactly against the tile's chain stream
+(ops/render_pallas3.py, ops/render_pallas4.py); a per-lane coverage gate
+scopes lanes to the pixels they actually reach.
 
 Same two-level supertile compaction as ops/binning2.py, keyed by depth16 so
 per-group lists come out front-to-back. Groups whose big count exceeds
@@ -51,11 +51,9 @@ def bin_bigs(
     supertile_cap: int = 2048,
     tile_row_offset=0,
 ) -> TileBigs:
-    """Per-GROUP big-lane lists: the render kernel processes GROUP=4
-    horizontally contiguous tiles per grid step and shares ONE resident big
-    list across them (amortizing the per-tile pre-pass that dominated the
-    single-tile kernel), so lanes are binned per 4x1-tile window. Lanes
-    covering any tile of the group are included; the kernel's per-lane
+    """Per-GROUP big-lane lists (GROUP=1 -> per TILE in practice): lanes
+    covering any tile of the GROUPx1 window are included, exactly
+    depth-sorted, and kept resident by the render kernel; its per-lane
     coverage gate scopes them to the pixels they actually reach."""
     gx, gy = cfg.tile_dims
     gx2 = -(-gx // GROUP)

@@ -215,8 +215,8 @@ def _pick_fast(frame: FastFrameOutput, tile_id, means, model_scale, cfg):
     entry_ok = entries >= 0
     ids = jnp.where(entry_ok, entries & 0x7FFFFF, 0)
     pays = frame.payload[ids]                               # (C2, 16, S)
-    # big lanes are binned per GROUP of 4 tiles (ops/bigbin.py); the
-    # per-lane coverage test below scopes them back to this tile
+    # big lanes are binned per GROUP of tiles (GROUP=1 today, ops/bigbin.py);
+    # the per-lane coverage test below scopes them to this tile regardless
     from .bigbin import GROUP
     gx2 = -(-gx // GROUP)
     gid = (tile_id // gx) * gx2 + (tile_id % gx) // GROUP

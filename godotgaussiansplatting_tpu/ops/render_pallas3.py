@@ -793,8 +793,10 @@ def render_tiles_v3(
     obig = tile_bigs.bigpay.shape[2]
     import os as _os
     if batch_u is None:
-        batch_u = int(_os.environ.get("GS_BATCH_U",
-                                      default_batch_u(cfg.tile_size)))
+        if "GS_BATCH_U" in _os.environ:     # benchmark sweep override only
+            batch_u = int(_os.environ["GS_BATCH_U"])
+        else:
+            batch_u = cfg.batch_u or default_batch_u(cfg.tile_size)
     Un = batch_u
     C2 = bins.tile_blocks.shape[1]
     max_batches = -(-C2 // Un)
@@ -846,7 +848,10 @@ def render_tiles_v3(
     # exit typically leaves live (measured ~8% of binned blocks at the
     # headline); deeper tiles fall through to the in-kernel DMA ring.
     if slab_u is None:
-        slab_u = int(_os.environ.get("GS_SLAB_U", 2))
+        if "GS_SLAB_U" in _os.environ:      # benchmark sweep override only
+            slab_u = int(_os.environ["GS_SLAB_U"])
+        else:
+            slab_u = cfg.slab_u
     if GROUP != 1:
         slab_u = 0   # slab indexing is per true tile
     # only FULL batches can ride the slab (a partial final batch would need
@@ -873,10 +878,10 @@ def render_tiles_v3(
         kern,
         grid=(TG,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             slab_spec,
             pl.BlockSpec((NPX, 8), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),

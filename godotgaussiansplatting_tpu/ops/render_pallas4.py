@@ -56,10 +56,10 @@ from .render_pallas3 import (ALPHA_MAX, LOG_MIN_ALPHA, OUT_CH,
 
 import os as _os
 
-# Tiles per lockstep grid step. 4 amortizes MXU latency 4x at ~11 MB VMEM
-# scratch; GS_GT=2 halves VMEM pressure (read ONCE at import — a process
-# restart is required to change it, like any static shape).
-GT = int(_os.environ.get("GS_GT", "4"))
+# Tiles per lockstep grid step come from RasterizerConfig.lockstep_gt
+# (4 amortizes MXU latency 4x at ~11 MB VMEM scratch; 2 halves VMEM
+# pressure). The GS_GT env var overrides it for benchmark sweeps only,
+# read at trace time in render_tiles_v4.
 
 
 def _render_kernel_v4(
@@ -93,9 +93,10 @@ def _render_kernel_v4(
     row_sems,        # DMA sems (2,)
     sems,            # DMA sems (2, GT, U)
     *, gx: int, tile_size: int, num_groups: int, early_exit: bool,
-    lowp: bool, max_batches: int, obig: int, U: int, slab_u: int = 0,
-    ablate: str = "",
+    lowp: bool, max_batches: int, obig: int, U: int, gt: int,
+    slab_u: int = 0, ablate: str = "",
 ):
+    GT = gt
     S = BLOCK_SIZE
     US = U * S
     L = GT * US
@@ -538,6 +539,9 @@ def render_tiles_v4(
     v3's (bigbin GROUP=1 per-tile lists); only the launch layout differs."""
     from .bigbin import GROUP
     assert GROUP == 1, "v4 lockstep requires per-tile big lists (GROUP=1)"
+    import os as _os
+    GT = (int(_os.environ["GS_GT"]) if "GS_GT" in _os.environ  # sweeps only
+          else cfg.lockstep_gt)
     gx, gy = cfg.tile_dims
     T = gx * gy
     T4 = -(-T // GT)
@@ -546,10 +550,11 @@ def render_tiles_v4(
         interpret = True
 
     obig = tile_bigs.bigpay.shape[2]
-    import os as _os
     if batch_u is None:
-        batch_u = int(_os.environ.get("GS_BATCH_U",
-                                      default_batch_u(cfg.tile_size)))
+        if "GS_BATCH_U" in _os.environ:     # benchmark sweep override only
+            batch_u = int(_os.environ["GS_BATCH_U"])
+        else:
+            batch_u = cfg.batch_u or default_batch_u(cfg.tile_size)
     Un = batch_u
     US = Un * BLOCK_SIZE
     L = GT * US
@@ -585,7 +590,10 @@ def render_tiles_v4(
 
     # chain slab, lanes pre-arranged [t0: U blocks | t1 ... ] per batch
     if slab_u is None:
-        slab_u = int(_os.environ.get("GS_SLAB_U", 2))
+        if "GS_SLAB_U" in _os.environ:      # benchmark sweep override only
+            slab_u = int(_os.environ["GS_SLAB_U"])
+        else:
+            slab_u = cfg.slab_u
     slab_u = min(slab_u, C2 // Un)
     if slab_u > 0:
         Wb = slab_u * Un
@@ -627,14 +635,14 @@ def render_tiles_v4(
     kern = functools.partial(
         _render_kernel_v4, gx=gx, tile_size=ts, num_groups=T4,
         early_exit=early_exit, lowp=lowp, max_batches=max_batches,
-        obig=obig, U=Un, slab_u=slab_u, ablate=ablate)
+        obig=obig, U=Un, gt=GT, slab_u=slab_u, ablate=ablate)
 
     return pl.pallas_call(
         kern,
         grid=(T4,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, PAYLOAD_WIDTH, GT * obig), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, NPX, GT * obig), lambda t: (t, 0, 0),

@@ -383,8 +383,10 @@ class ViewerState:
         return "\n".join(lines)
 
 
-def serve(rasterizer: Rasterizer, port: int = 8000,
-          host: str = "127.0.0.1"):
+def make_server(rasterizer: Rasterizer, port: int = 8000,
+                host: str = "127.0.0.1"):
+    """Build the HTTP server without entering serve_forever (testable;
+    port=0 binds an ephemeral port). Returns (httpd, state)."""
     state = ViewerState(rasterizer)
     threading.Thread(target=state.render_loop, daemon=True).start()
 
@@ -455,5 +457,11 @@ def serve(rasterizer: Rasterizer, port: int = 8000,
             self._send(200, b"{}")
 
     httpd = ThreadingHTTPServer((host, port), Handler)
-    print(f"viewer at http://{host}:{port}/")
+    return httpd, state
+
+
+def serve(rasterizer: Rasterizer, port: int = 8000,
+          host: str = "127.0.0.1"):
+    httpd, _ = make_server(rasterizer, port, host)
+    print(f"viewer at http://{host}:{httpd.server_address[1]}/")
     httpd.serve_forever()

@@ -171,11 +171,21 @@ def test_heatmap_and_picking_fast():
         heatmap_factor=base.image.dtype.type(1.0)), cfg, interpret=True)
     assert np.abs(np.asarray(hm.image) - np.asarray(base.image)).max() > 1e-3
 
-    # picking: center tile should be occupied
+    # picking: center tile should be occupied, and the picked position must
+    # be an actual splat mean (the reference returns the world position of
+    # the splat 10% into the tile's depth range, gsplat_render.glsl:103-110)
     gx, _ = cfg.tile_dims
     tile = (2 * gx) + 2
     pos = np.asarray(pick_splat_position_fast(base, tile, cloud, 1.0, cfg))
     assert np.all(np.isfinite(pos))
-    # off-scene tile (top-left corner likely empty in this scene) → inf or hit;
-    # at minimum the API returns a well-formed vector
-    assert pos.shape == (3,)
+    means = np.asarray(cloud.means[: cloud.num_splats])
+    d = np.linalg.norm(means - pos[None, :], axis=1)
+    assert d.min() < 1e-4, f"picked position is not a splat mean (min {d.min()})"
+
+    # a tile with no covering splats must return the +inf sentinel
+    # (gaussian_splatting_rasterizer.gd:171): render the same cloud shrunk
+    # to the image center so corner tiles are provably empty
+    small = render_frame_fast(cloud, uni._replace(
+        model_scale=uni.model_scale * 0.05), cfg, interpret=True)
+    empty = np.asarray(pick_splat_position_fast(small, 0, cloud, 0.05, cfg))
+    assert np.all(np.isinf(empty)), f"empty-tile pick returned {empty}"
