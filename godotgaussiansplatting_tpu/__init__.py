@@ -11,7 +11,7 @@ picking, heatmap, telemetry and multi-chip sharding.
 from .config import RasterizerConfig, TILE_SIZE, SORT_BUFFER_FACTOR
 from .models.camera import Camera, orbit_trajectory
 from .models.splats import (SplatCloud, from_arrays, mortonize,
-                            synthetic_scene)
+                            photogrammetry_scene, synthetic_scene)
 from .ops.pipeline import (FrameOutput, FrameStats, FrameUniforms,
                            make_uniforms, pick_splat_position, render_frame,
                            render_frame_jit, render_multiview)
@@ -23,6 +23,7 @@ __all__ = [
     "RasterizerConfig", "TILE_SIZE", "SORT_BUFFER_FACTOR",
     "Camera", "orbit_trajectory",
     "SplatCloud", "from_arrays", "mortonize", "synthetic_scene",
+    "photogrammetry_scene",
     "FrameOutput", "FrameStats", "FrameUniforms", "make_uniforms",
     "render_frame", "render_frame_jit", "render_multiview",
     "pick_splat_position", "Rasterizer",
