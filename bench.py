@@ -90,7 +90,8 @@ def main():
 
         def one_frame(cloud, uni):
             out = render_frame_fast(cloud, uni, cfg)
-            return (out.image[::64, ::64, :3].sum(),
+            # fast-path image is planar (4, H, W)
+            return (out.image[:3, ::64, ::64].sum(),
                     out.stats.num_pairs, out.stats.max_tile_count)
     else:
         from godotgaussiansplatting_tpu.ops.pipeline import render_frame

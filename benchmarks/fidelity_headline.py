@@ -76,7 +76,7 @@ def main():
     from godotgaussiansplatting_tpu.ops.pipeline import (make_uniforms,
                                                          render_frame)
     from godotgaussiansplatting_tpu.ops.fast_pipeline import render_frame_fast
-    from godotgaussiansplatting_tpu.utils.image import write_png
+    from godotgaussiansplatting_tpu.utils.image import hwc, write_png
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 5_800_000
     obigs = ([int(x) for x in sys.argv[2].split(",")]
@@ -132,7 +132,7 @@ def main():
                     render_frame_fast(c, u, cfg, obig=ob)))
             t0 = time.perf_counter()
             img_f, ovf = fast_jit(cloud, uni)
-            img_fast = np.asarray(img_f)
+            img_fast = hwc(np.asarray(img_f))   # planar -> (H, W, 4) view
             t_c = time.perf_counter() - t0
             p = float(np.asarray(psnr(jnp.asarray(img_fast),
                                       jnp.asarray(img_exact))))
@@ -146,7 +146,7 @@ def main():
         results["scenes"][scene] = r
 
     out_path = os.path.join(os.path.dirname(__file__), "..",
-                            "FIDELITY_r03.json")
+                            "FIDELITY_r04.json")
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results), flush=True)

@@ -258,10 +258,15 @@ class Rasterizer:
         return time.perf_counter() - t0
 
     def image(self) -> np.ndarray:
-        """Host copy of the last rendered frame (H, W, 4) linear f32."""
+        """Host copy of the last rendered frame (H, W, 4) linear f32.
+
+        The fast path renders channel-planar (4, H, W) on device (the
+        TPU-native target layout, ops/render_pallas3.assemble_image_v3);
+        hwc() remaps to channels-last as a free host-side view."""
         if self.last_frame is None:
             self.rasterize()
-        return np.asarray(self.last_frame.image)
+        from ..utils.image import hwc
+        return hwc(np.asarray(self.last_frame.image))
 
     # -- picking -----------------------------------------------------------
 

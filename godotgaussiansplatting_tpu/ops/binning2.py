@@ -124,23 +124,31 @@ def bin_blocks2(
                 & (bit > 0)
                 & cand_valid[:, None, :])           # (NS, 64, C1)
 
-    # L2 compaction carries ONLY the position key (unique along C1, so no
-    # stability needed); the block-id and depth-range words are gathered
-    # post-sort from the small (NS, C1) tables — 2 gathers of NS*64*C2
-    # elements cost far less than dragging 2 extra operands through the
-    # (NS, 64, C1) sort.
+    # L2 compaction: the BLOCK ID rides the position key's low bits (pos is
+    # unique along C1, so the id bits never perturb the order) and the
+    # packed depth range rides as ONE extra sort operand. Device-measured
+    # at the 5.8M/1080p headline: post-sort elementwise gathers of the two
+    # payload words off the small (NS, C1) tables ran at ~7 cycles/element
+    # (15.8 ms EACH for NS*64*C2 = 2.2M elements — the round-3 regression);
+    # dragging one operand through the (NS, 64, C1) merge network is ~3 ms.
+    bid_bits = 32 - (C1 + 1).bit_length()   # low bits available for the id
+    assert B <= (1 << bid_bits), (
+        f"{B} blocks exceed the {bid_bits}-bit id field at C1={C1}")
     pos = jnp.broadcast_to(
         jnp.arange(C1, dtype=jnp.uint32)[None, None], covers_t.shape)
-    key2 = jnp.where(covers_t, pos, jnp.uint32(C1))
-    (k2s,) = jax.lax.sort((key2,), dimension=2, num_keys=1)
+    bid_bc = jnp.broadcast_to(
+        cand_gidx.astype(jnp.uint32)[:, None], covers_t.shape)
+    mm_bc = jnp.broadcast_to(k1s[:, None], covers_t.shape)
+    key2 = jnp.where(covers_t, (pos << bid_bits) | bid_bc,
+                     jnp.uint32(C1) << bid_bits)
+    k2s, mm_s = jax.lax.sort((key2, mm_bc), dimension=2, num_keys=1)
     k2s = k2s[:, :, :C2]
-    hit = k2s != C1
-    flat = (jnp.arange(NS, dtype=jnp.uint32)[:, None, None] * jnp.uint32(C1)
-            + jnp.where(hit, k2s, 0))               # (NS, 64, C2)
-    g_bidnv = jnp.take(cand_bidnv.reshape(-1), flat)
-    g_mm = jnp.take(k1s.reshape(-1), flat)
-    tb = jnp.where(hit, (g_bidnv & 0xFFFFFF).astype(jnp.int32), -1)
-    tmm = jnp.where(hit, g_mm, jnp.uint32(0xFFFFFFFF)).astype(jnp.int32)
+    mm_s = mm_s[:, :, :C2]
+    hit = (k2s >> bid_bits) != C1
+    tb = jnp.where(hit,
+                   (k2s & ((jnp.uint32(1) << bid_bits) - 1)).astype(
+                       jnp.int32), -1)
+    tmm = jnp.where(hit, mm_s, jnp.uint32(0xFFFFFFFF)).astype(jnp.int32)
     nb = jnp.sum(covers_t, axis=2).astype(jnp.int32)          # (NS, 64)
     ncand = jnp.sum(
         jnp.where(covers_t, (cand_bidnv[:, None] >> 24).astype(jnp.int32), 0),

@@ -39,7 +39,9 @@ def _slim_projection(prj):
 
 
 class FastFrameOutput(NamedTuple):
-    image: jnp.ndarray          # (H, W, 4) f32
+    image: jnp.ndarray          # (4, H, W) f32 PLANAR render target (see
+                                # assemble_image_v3; utils/image.hwc gives
+                                # hosts the (H, W, 4) view for free)
     stats: FrameStats
     # picking state (device-resident):
     tile_blocks: jnp.ndarray    # (T, C2) i32

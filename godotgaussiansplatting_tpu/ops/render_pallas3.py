@@ -931,15 +931,25 @@ def tile_channels_v3(tiles: jnp.ndarray, cfg: RasterizerConfig):
 
 
 def assemble_image_v3(tiles: jnp.ndarray, cfg: RasterizerConfig):
-    """(TG, GROUP*NPX, OUT_CH) group buffer -> ((H, W, 4) image,
-    (T, NPX) t_final)."""
+    """(TG, GROUP*NPX, OUT_CH) group buffer -> ((4, H, W) PLANAR image,
+    (T, NPX) t_final).
+
+    The fast path's render target is channel-PLANAR (4, H, W) f32: a
+    channels-minor (H, W, 4) target tiles at 4/128 lane utilization on TPU
+    and cost ~10 ms/frame in pure relayout at the 1080p headline (round-4
+    device trace: transpose+copy+slice at ~3 ms each); channel planes keep
+    W on the 128-lane axis. Hosts get (H, W, 4) back with a free
+    np.moveaxis view (utils/image.hwc). Parity note: the reference renders
+    into an opaque GPU-tiled texture too (gaussian_splatting_rasterizer.gd
+    :26-48) — channel order there is equally a present-time concern."""
     gx, gy = cfg.tile_dims
     gx2 = -(-gx // GROUP)
     ts = cfg.tile_size
     w, h = cfg.target_size
     per_tile = tiles.reshape(gy, gx2 * GROUP, ts, ts, OUT_CH)
     t_final = per_tile[:, :gx, :, :, 4].reshape(gy * gx, ts * ts)
-    img = per_tile[..., :4]                       # (gy, gxp, ts_y, ts_x, 4)
-    img = img.transpose(0, 2, 1, 3, 4).reshape(gy * ts,
-                                               gx2 * GROUP * ts, 4)
-    return img[:h, :w], t_final
+    chp = tiles.transpose(2, 0, 1)[:4]            # (4, TG, G*NPX)
+    img = chp.reshape(4, gy, gx2, GROUP, ts, ts)
+    img = img.transpose(0, 1, 4, 2, 3, 5).reshape(
+        4, gy * ts, gx2 * GROUP * ts)
+    return img[:, :h, :w], t_final

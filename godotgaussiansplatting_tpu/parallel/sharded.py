@@ -161,10 +161,11 @@ def render_frame_fast_sharded(
     rects intersect via ONE fixed-capacity lax.all_to_all (payload + packed
     metadata); each device bins + renders its slab with the v3 Pallas kernel.
 
-    Returns (images (n_view, H, W, 4), num_pairs (n_view,),
-    num_exchange_overflow (n_view,)). exchange_cap is the per-(src, dst)
-    block budget; default 4·B_local/n_tile (clamped to B_local, i.e. a
-    lossless exchange whenever a shard's blocks fit).
+    Returns (images (n_view, 4, H, W) PLANAR — the fast path's TPU-native
+    render-target layout, see ops/render_pallas3.assemble_image_v3 —
+    num_pairs (n_view,), num_exchange_overflow (n_view,)). exchange_cap is
+    the per-(src, dst) block budget; default 4·B_local/n_tile (clamped to
+    B_local, i.e. a lossless exchange whenever a shard's blocks fit).
     """
     from ..ops.blocks2 import BLOCK_SIZE, BlockFrame2, build_block_frame2
     from ..ops.bigbin import bin_bigs
@@ -263,7 +264,7 @@ def render_frame_fast_sharded(
         tiles = render_tiles_v3(
             pool.payload, bins, tile_bigs, heatmap, slab_cfg, lowp=lowp,
             interpret=interpret, pixel_offset_y=y0 * cfg.tile_size)
-        image, _ = assemble_image_v3(tiles, slab_cfg)
+        image, _ = assemble_image_v3(tiles, slab_cfg)   # (4, Hslab, W)
         total_pairs = jax.lax.psum(bf.num_culled_pairs, "tile")
         total_over = jax.lax.psum(over, "tile")
         return image[None], total_pairs[None], total_over[None]
@@ -274,7 +275,8 @@ def render_frame_fast_sharded(
         step, mesh=mesh,
         in_specs=(splat_spec, splat_spec, splat_spec, splat_spec, splat_spec,
                   uni_spec, uni_spec, uni_spec, uni_spec, uni_spec, uni_spec),
-        out_specs=(P("view", "tile"), P("view"), P("view")),
+        # planar slabs concatenate along H (axis 2 of (view, 4, Hslab, W))
+        out_specs=(P("view", None, "tile"), P("view"), P("view")),
         # pallas_call inside shard_map cannot declare per-axis vma yet
         check_vma=False,
     )
@@ -283,4 +285,4 @@ def render_frame_fast_sharded(
         uniforms.view, uniforms.proj, uniforms.camera_pos,
         uniforms.model_scale, uniforms.time, uniforms.heatmap_factor)
     h = cfg.target_size[1]
-    return img[:, :h], npairs, nover
+    return img[:, :, :h], npairs, nover

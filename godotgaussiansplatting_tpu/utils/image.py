@@ -13,6 +13,18 @@ import zlib
 import numpy as np
 
 
+def hwc(image: np.ndarray) -> np.ndarray:
+    """Planar (4, H, W) fast-path render target -> (H, W, 4) channels-last.
+
+    A free np.moveaxis VIEW on host arrays (no copy until a consumer needs
+    contiguity); passes (H, W, 4) images through unchanged so callers can
+    feed either pipeline's output."""
+    a = np.asarray(image)
+    if a.ndim == 3 and a.shape[0] == 4 and a.shape[2] != 4:
+        return np.moveaxis(a, 0, -1)
+    return a
+
+
 def linear_to_srgb(rgb: np.ndarray) -> np.ndarray:
     """IEC 61966-2-1 transfer (what the GPU does on an sRGB swapchain)."""
     rgb = np.clip(rgb, 0.0, 1.0)
@@ -21,8 +33,8 @@ def linear_to_srgb(rgb: np.ndarray) -> np.ndarray:
 
 
 def to_uint8(image: np.ndarray, srgb: bool = True) -> np.ndarray:
-    """(H, W, 3|4) float → (H, W, 3) uint8 for presentation."""
-    rgb = np.asarray(image)[..., :3].astype(np.float32)
+    """(H, W, 3|4) or planar (4, H, W) float → (H, W, 3) uint8."""
+    rgb = hwc(np.asarray(image))[..., :3].astype(np.float32)
     if srgb:
         rgb = linear_to_srgb(rgb)
     return (np.clip(rgb, 0, 1) * 255.0 + 0.5).astype(np.uint8)

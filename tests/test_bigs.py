@@ -110,8 +110,9 @@ def test_pixel_parity_big_heavy_scene():
     from godotgaussiansplatting_tpu.ops.fast_pipeline import render_frame_fast
     fast = render_frame_fast(cloud, uni, cfg, interpret=True)
     exact = gs.render_frame_jit(cloud, uni, cfg, tile_capacity=4096)
+    from godotgaussiansplatting_tpu.utils.image import hwc
     a = np.asarray(exact.image)[:, :, :3]
-    b = np.asarray(fast.image)[:, :, :3]
+    b = hwc(np.asarray(fast.image))[:, :, :3]
     mse = float(((a - b) ** 2).mean())
     psnr = 10 * np.log10(max(float(a.max()), 1.0) ** 2 / max(mse, 1e-12))
     assert psnr > 40.0, f"big-heavy fast-vs-exact PSNR {psnr:.1f} dB"

@@ -12,6 +12,7 @@ from godotgaussiansplatting_tpu.ops.blocks import BLOCK_SIZE, morton_order
 from godotgaussiansplatting_tpu.ops.fast_pipeline import (
     pick_splat_position_fast, render_frame_fast)
 from godotgaussiansplatting_tpu.ops.pipeline import make_uniforms
+from godotgaussiansplatting_tpu.utils.image import hwc
 
 
 def _mortonize(cloud):
@@ -63,7 +64,7 @@ def test_single_center_tile_matches_exact():
     # clamp — measure ~5e-3 max on this deep opaque stack (see
     # ops/render_pallas3.py docstring). Exact mode alone carries the
     # reference 1e-3 parity bar.
-    np.testing.assert_allclose(np.asarray(fast.image),
+    np.testing.assert_allclose(hwc(np.asarray(fast.image)),
                                np.asarray(exact.image), atol=1e-2)
 
 
@@ -80,7 +81,7 @@ def test_random_scene_psnr():
     uni = make_uniforms(Camera.reset_pose(), cfg)
     fast = render_frame_fast(cloud, uni, cfg, interpret=True)
     exact = render_frame_jit(cloud, uni, cfg, tile_capacity=512)
-    p = _psnr(np.asarray(fast.image)[:, :, :3],
+    p = _psnr(hwc(np.asarray(fast.image))[:, :, :3],
               np.asarray(exact.image)[:, :, :3])
     assert p > 40.0, f"fast-path PSNR too low: {p:.1f} dB"
 
@@ -143,9 +144,9 @@ def test_sparse_first_tiles_finite():
     cloud = dataclasses.replace(cloud, opacity=cloud.opacity * 0.15)
     uni = make_uniforms(Camera.reset_pose(), cfg)
     out = render_frame_fast(cloud, uni, cfg, interpret=True)
-    img = np.asarray(out.image)
+    img = np.asarray(out.image)          # planar (4, H, W)
     assert np.isfinite(img).all()
-    assert img[:, :, :3].max() > 0.01
+    assert img[:3].max() > 0.01
 
 
 def test_early_exit_changes_nothing():

@@ -94,10 +94,10 @@ def test_fast_sharded_matches_single_device(n_tile, height):
     mesh = make_mesh(n_view=1, n_tile=n_tile)
     img, npairs, nover = render_frame_fast_sharded(
         cloud, stack_uniforms([uni]), cfg, mesh, interpret=True)
-    img = np.asarray(img)[0]
-    assert img.shape == (cfg.target_size[1], cfg.target_size[0], 4)
+    img = np.asarray(img)[0]             # planar (4, H, W)
+    assert img.shape == (4, cfg.target_size[1], cfg.target_size[0])
     assert int(np.asarray(nover)[0]) == 0   # lossless exchange at this size
-    assert np.isfinite(img).all() and img[:, :, :3].max() > 0.01
+    assert np.isfinite(img).all() and img[:3].max() > 0.01
 
     single = render_frame_fast(cloud, uni, cfg, interpret=True)
     # Residual bound: with alpha <= 0.15, ordering discrepancies between the
@@ -133,7 +133,7 @@ def test_fast_sharded_psnr_normal_opacity():
     assert int(np.asarray(nover)[0]) == 0
     single = render_frame_fast(cloud, uni, cfg, interpret=True)
     ref = np.asarray(single.image)
-    mse = float(((img[..., :3] - ref[..., :3]) ** 2).mean())
+    mse = float(((img[:3] - ref[:3]) ** 2).mean())
     psnr = -10.0 * np.log10(max(mse, 1e-12))
     assert psnr >= 40.0, f"sharded fast path decorrelated: {psnr:.1f} dB"
     assert int(np.asarray(npairs)[0]) == int(single.stats.num_pairs)

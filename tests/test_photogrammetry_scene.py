@@ -50,8 +50,9 @@ def test_renders_both_pipelines():
     uni = make_uniforms(Camera.reset_pose(), cfg)
     exact = np.asarray(render_frame(cloud, uni, cfg,
                                     tile_capacity=4096).image)
-    fast = np.asarray(render_frame_fast(cloud, uni, cfg,
-                                        interpret=True).image)
+    from godotgaussiansplatting_tpu.utils.image import hwc
+    fast = hwc(np.asarray(render_frame_fast(cloud, uni, cfg,
+                                            interpret=True).image))
     assert np.isfinite(exact).all() and np.isfinite(fast).all()
     assert exact[:, :, :3].max() > 0.05  # the sky shell fills the frame
     mse = float(np.mean((exact[:, :, :3] - fast[:, :, :3]) ** 2))
