@@ -91,17 +91,13 @@ def render_frame_fast(
             bf.payload, bins, tile_bigs, uniforms.heatmap_factor, cfg,
             early_exit=early_exit, lowp=lowp, interpret=interpret,
             batch_u=batch_u)
-        image, t_final = assemble_image_v4(tiles, cfg,
-                                           uniforms.heatmap_factor,
-                                           bins.tile_candidates)
+        image, t_final = assemble_image_v4(tiles, cfg)
     else:
         tiles = render_tiles_v3(
             bf.payload, bins, tile_bigs, uniforms.heatmap_factor, cfg,
             early_exit=early_exit, lowp=lowp, interpret=interpret,
             batch_u=batch_u)
-        image, t_final = assemble_image_v3(tiles, cfg,
-                                           uniforms.heatmap_factor,
-                                           bins.tile_candidates)
+        image, t_final = assemble_image_v3(tiles, cfg)
     stats = FrameStats(
         num_pairs=bf.num_culled_pairs,
         num_overflow=bins.overflow + tile_bigs.overflow,
@@ -161,14 +157,12 @@ def _stage_render(bf, bins, tile_bigs, heatmap_factor, cfg, early_exit,
         tiles = render_tiles_v4(bf.payload, bins, tile_bigs,
                                 heatmap_factor, cfg,
                                 early_exit=early_exit, lowp=lowp)
-        image, t_final = assemble_image_v4(tiles, cfg, heatmap_factor,
-                                           bins.tile_candidates)
+        image, t_final = assemble_image_v4(tiles, cfg)
     else:
         tiles = render_tiles_v3(bf.payload, bins, tile_bigs,
                                 heatmap_factor, cfg,
                                 early_exit=early_exit, lowp=lowp)
-        image, t_final = assemble_image_v3(tiles, cfg, heatmap_factor,
-                                           bins.tile_candidates)
+        image, t_final = assemble_image_v3(tiles, cfg)
     stats = FrameStats(
         num_pairs=bf.num_culled_pairs,
         num_overflow=bins.overflow + tile_bigs.overflow,

@@ -94,12 +94,9 @@ def _render_kernel_v3(
                      # (the per-tile eval+power+exp ran for ~98% of tiles
                      # as ~35 small overhead-bound ops; batched in XLA it
                      # is throughput-bound)
-    slabf_ref,       # (1, 2*8, slab_u*US) bf16 VMEM — COOKED first slab_u
-                     # chain batches: hi/lo bf16 halves of the re-centered
-                     # power features (cook_slab; eval_payload's per-lane
-                     # work, batched in XLA). Dummy zeros when slab_u == 0.
-    slabr_ref,       # (1, 4, slab_u*US) bf16 VMEM — cooked rgb rows
-    slabw_ref,       # (1, 1, slab_u*US) i32 VMEM — cooked order ranks
+    slab_ref,        # (1, PW, slab_u*US) f32 VMEM — XLA-pre-gathered first
+                     # slab_u chain batches of this tile (auto-pipelined;
+                     # dummy (1, PW, S) zeros when slab_u == 0)
     pixf_b_ref,      # (NPX, 8) bf16 VMEM — tile-local pixel features (hi)
     pixf_lo_ref,     # (NPX, 8) bf16 VMEM — lo half (zeros at tile<=16)
     lt_ob_ref,       # (OBIG, OBIG) cdt VMEM — strict lower-triangle mask
@@ -208,6 +205,8 @@ def _render_kernel_v3(
                                   bigla_vmem.at[1 - slot_r],
                                   bigla_sems.at[1 - slot_r]).start()
 
+    cand0 = row_smem[slot_r, 0, 1]  # noqa: F841 (per-tile cand read below)
+    hm_f = row_smem[slot_r, 0, 2].astype(f32) * (1.0 / 65536.0)
     y_off = row_smem[slot_r, 0, 3]
     nbig = row_smem[slot_r, 0, 4]
     if "bigpre" in ablate or "nobigdma" in ablate:
@@ -293,23 +292,17 @@ def _render_kernel_v3(
     else:
         pixf_cat = jnp.concatenate([pixf_b, pixf_b], axis=1)    # (NPX, 16)
 
-    def mm_from_parts(F_cat):
-        """(16, W) bf16 [Fh; Fl] stack -> (alpha, la). One fused MXU op
-        (see the hi/lo note above); at tile_size > 16 the third (hi) pass
-        is appended in-register."""
-        if tile_size > 16:
-            F_cat = jnp.concatenate([F_cat, F_cat[:8]], axis=0)
+    def mm_power(F_all):
+        Fh = F_all.astype(bf16)
+        Fl = (F_all - Fh.astype(f32)).astype(bf16)
+        parts = [Fh, Fl] + ([Fh] if tile_size > 16 else [])
         P = jax.lax.dot_general(
-            pixf_cat, F_cat, (((1,), (0,)), ((), ())),
+            pixf_cat, jnp.concatenate(parts, axis=0),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=f32)
         alpha = jnp.minimum(jnp.exp(P), ALPHA_MAX)
         la = jnp.log1p(-alpha)
         return alpha, la
-
-    def mm_power(F_all):
-        Fh = F_all.astype(bf16)
-        Fl = (F_all - Fh.astype(f32)).astype(bf16)
-        return mm_from_parts(jnp.concatenate([Fh, Fl], axis=0))
 
     # --- init per-group state -----------------------------------------------
     cols_v[...] = jnp.zeros((NPXG, 8), f32)
@@ -339,12 +332,20 @@ def _render_kernel_v3(
         big_w[...] = ((d_i << 16) | ((i_row >> 7) & 0xFFFF)) ^ jnp.int32(
             -0x80000000)
         cols_v[:, 6:7] = jnp.sum(lac.astype(f32), axis=1, keepdims=True)
-        # 32-bucket depth-occupancy bitmask for the per-batch straddle
-        # gate: precomputed batched in XLA (big_bucket_masks) and carried
-        # in header slots 5/6 — the in-kernel (32, OBIG) iota/compare/
-        # reduce build cost a VPU round-trip per grid step
-        meta[2] = row_smem[slot_r, 0, 5]
-        meta[3] = row_smem[slot_r, 0, 6]
+        # 32-bucket depth-occupancy bitmask: the per-batch straddle gate
+        # tests it with pure scalar ops — a jnp.any() per batch syncs the
+        # scalar core with the VPU every iteration
+        bucket = jnp.where(d_row < 0.5 * DEPTH_INVALID,
+                           (d_row * (1.0 / 2048.0)).astype(jnp.int32),
+                           -1)                                  # (1, OBIG)
+        biot = jax.lax.broadcasted_iota(jnp.int32, (32, obig), 0)
+        hit_b = jnp.max(jnp.where(biot == bucket, 1, 0), axis=1,
+                        keepdims=True)                          # (32, 1)
+        b32 = jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0)
+        pw2 = jnp.left_shift(jnp.ones((32, 1), jnp.int32),
+                             jnp.bitwise_and(b32, 15))
+        meta[2] = jnp.sum(jnp.where(b32 < 16, hit_b * pw2, 0))
+        meta[3] = jnp.sum(jnp.where(b32 >= 16, hit_b * pw2, 0))
 
     # --- chain batch ring (shared by the group's tiles; each tile drains
     # before the next starts, and its batch 0 is prefetched from the
@@ -403,12 +404,7 @@ def _render_kernel_v3(
         rs = pl.ds(g * NPX, NPX)
         tile_x = group_x + g.astype(f32) * tsz
 
-        def chain_batch(k, pay_all=None, cooked=None):
-            """One U-block batch. pay_all: raw (PW, US) ring payload,
-            evaluated in-kernel; cooked: (F16 (16, US) bf16, rgb4 (4, US)
-            bf16, w (1, US) i32) pre-evaluated by cook_slab in XLA (the
-            slab path — eval_payload's ~25 narrow per-lane ops were the
-            single largest kernel cost at the headline)."""
+        def chain_batch(k, pay_all):
             grp = jax.lax.rem(k, 2)
             sc, sp = grp, 1 - grp
 
@@ -421,24 +417,14 @@ def _render_kernel_v3(
                 bmin = jnp.where(live, jnp.minimum(bmin, mn), bmin)
                 bmax = jnp.where(live, jnp.maximum(bmax, mx), bmax)
 
-            if cooked is not None:
-                F16, rgbT4, w_cur = cooked
-                if "eval" in ablate:
-                    la = jnp.full((NPX, US), -0.01, f32)
-                    al = jnp.full((NPX, US), 0.00995, f32)
-                else:
-                    al, la = mm_from_parts(F16)                 # (NPX, US)
+            live_v = lane_blk < (nb - k * U)                    # (1, US)
+            F_all, rgbT, w_cur = eval_payload(
+                pay_all, live_v, tile_x, group_y, tsz, tsz)
+            if "eval" in ablate:
+                la = jnp.full((NPX, US), -0.01, f32)
+                al = jnp.full((NPX, US), 0.00995, f32)
             else:
-                live_v = lane_blk < (nb - k * U)                # (1, US)
-                F_all, rgbT, w_cur = eval_payload(
-                    pay_all, live_v, tile_x, group_y, tsz, tsz)
-                rgbT4 = jnp.concatenate(
-                    [rgbT, jnp.zeros((1, US), bf16)], axis=0)
-                if "eval" in ablate:
-                    la = jnp.full((NPX, US), -0.01, f32)
-                    al = jnp.full((NPX, US), 0.00995, f32)
-                else:
-                    al, la = mm_power(F_all)                    # (NPX, US)
+                al, la = mm_power(F_all)                        # (NPX, US)
             lac = la.astype(cdt)
             tot = jnp.sum(la, axis=1, keepdims=True)            # (NPX, 1)
 
@@ -458,7 +444,8 @@ def _render_kernel_v3(
             if "pend" not in ablate:
                 pend_la[sc] = lac
                 pend_al[sc] = al.astype(bf16)
-                pend_rgb[sc] = rgbT4
+                pend_rgb[sc] = jnp.concatenate(
+                    [rgbT, jnp.zeros((1, US), bf16)], axis=0)
                 pend_w[sc] = w_cur
                 pend_z[sc] = cums
                 pend_c[sc] = cols_v[rs, 4:5]
@@ -585,10 +572,8 @@ def _render_kernel_v3(
 
             @pl.when(go_k)
             def _(kk=kk):
-                sl = pl.ds(kk * US, US)
-                chain_batch(jnp.int32(kk), cooked=(
-                    slabf_ref[0, :, sl], slabr_ref[0, :, sl],
-                    slabw_ref[0, :, sl]))
+                chain_batch(jnp.int32(kk),
+                            slab_ref[0, :, kk * US:(kk + 1) * US])
             k0 = jnp.where(go_k, jnp.int32(kk + 1), k0)
 
         ring_go = cond(k0)
@@ -633,18 +618,29 @@ def _render_kernel_v3(
 
     t_exp = cols_v[:, 4:5] + jnp.where(has_big, cols_v[:, 6:7],
                                        jnp.zeros((NPXG, 1), f32))
+    t_final = jnp.exp(t_exp)                                    # (NPXG, 1)
 
-    # --- raw channel write (exp/heatmap/alpha moved to assemble_image_v3:
-    # batched XLA work instead of ~15 per-grid-step VPU ops) ------------------
+    # --- present: heatmap mix + channel assembly ----------------------------
     pix_tile = jax.lax.broadcasted_iota(jnp.int32, (NPXG, 1), 0) // NPX
+    mixf = jnp.zeros((NPXG, 1), f32)
     nb_px = jnp.zeros((NPXG, 1), f32)
     for g in range(GROUP):
+        mixf = jnp.where(pix_tile == g,
+                         row_smem[slot_r, g * 8, 1].astype(f32) * 5e-4, mixf)
         nb_px = jnp.where(pix_tile == g,
                           row_smem[slot_r, g * 8, 0].astype(f32), nb_px)
+    cov = (1.0 - t_final) * hm_f
     ch = jax.lax.broadcasted_iota(jnp.int32, (NPXG, OUT_CH), 1)
-    out = jnp.concatenate(
-        [cols_v[:, 0:3], jnp.zeros((NPXG, OUT_CH - 3), f32)], axis=1)
-    out = jnp.where(ch == 4, t_exp, out)   # PRE-exp transmittance carry
+    hm = jnp.where(ch == 0, 1.0 * mixf,
+                   jnp.where(ch == 1, 0.2 * mixf,
+                             jnp.where(ch == 2, 1.0 - 0.8 * mixf, 0.0))) * cov
+
+    acc = cols_v[:, 0:3]
+    rgb_full = jnp.concatenate(
+        [acc, jnp.zeros((NPXG, OUT_CH - 3), f32)], axis=1)
+    out = rgb_full + hm
+    out = jnp.where(ch == 3, 1.0, out)
+    out = jnp.where(ch == 4, t_final, out)
     # diagnostics: ch5 = chain blocks processed, ch6 = nb, ch7 = nbig (group)
     out = jnp.where(ch == 5, cols_v[:, 7:8], out)
     out = jnp.where(ch == 6, nb_px, out)
@@ -652,96 +648,14 @@ def _render_kernel_v3(
     out_ref[0] = out
 
 
-def big_bucket_masks(bigpay):
-    """(TG, PW, OBIG) big payloads -> (TG, 2) i32: 32-bucket (2048-depth16)
-    occupancy masks [lo 16 buckets | hi 16] of each group's big-lane list.
-    The render kernels' per-batch straddle gate tests these with pure
-    scalar ops; building them per grid step cost a VPU round-trip each —
-    batched here they are one elementwise pass over the (TG, OBIG) depth
-    rows."""
-    d = bigpay[:, 12]                                       # (TG, OBIG)
-    bucket = jnp.where(d < 0.5 * DEPTH_INVALID,
-                       (d * (1.0 / 2048.0)).astype(jnp.int32), -1)
-    b32 = jnp.arange(32, dtype=jnp.int32)
-    hits = jnp.any(bucket[:, None, :] == b32[None, :, None],
-                   axis=2).astype(jnp.int32)                # (TG, 32)
-    pw2 = jnp.left_shift(jnp.int32(1), b32 & 15)
-    lo = jnp.sum(jnp.where(b32 < 16, hits * pw2, 0), axis=1)
-    hi = jnp.sum(jnp.where(b32 >= 16, hits * pw2, 0), axis=1)
-    return jnp.stack([lo, hi], axis=1)                      # (TG, 2)
-
-
-def cook_slab(payload, tile_blocks, ox, oy, Wb, tile_size):
-    """Pre-evaluate the first Wb blocks of every tile's chain in XLA.
-
-    Mirrors the kernel's eval_payload EXACTLY (same expression order) for
-    the slab batches: gathers the payload blocks, re-centers the power
-    features to each tile's origin (ox, oy — (T,) f32), applies the
-    coverage/validity gate, and splits into the bf16 hi/lo halves the
-    kernel's fused power matmul consumes. Dead entries (tile_blocks < 0)
-    get the gate row turned off. Returns
-      (F16 (T, 16, Wb*S) bf16 [Fh; Fl], rgb (T, 4, Wb*S) bf16,
-       w (T, 1, Wb*S) i32).
-    In-kernel this work was ~25 ops on (1, US)-shaped rows — 1/8 VPU lane
-    utilization on a sequential grid; batched here it is one fused
-    elementwise pass over (T, Wb*S) lanes."""
-    f32 = jnp.float32
-    bf16 = jnp.bfloat16
-    T = tile_blocks.shape[0]
-    S = BLOCK_SIZE
-    entries = tile_blocks[:, :Wb]
-    ids = jnp.maximum(entries, 0).astype(jnp.int32)
-    raw = payload[ids.reshape(-1)]                  # (T*Wb, PW, S)
-    raw = raw.reshape(T, Wb, PAYLOAD_WIDTH, S)
-    pay = raw.transpose(0, 2, 1, 3).reshape(T, PAYLOAD_WIDTH, Wb * S)
-    live = jnp.repeat(entries >= 0, S, axis=1)[:, None, :]  # (T, 1, Wb*S)
-    ox = ox.astype(f32)[:, None, None]
-    oy = oy.astype(f32)[:, None, None]
-    tsz = float(tile_size)
-
-    def row(k):
-        return pay[:, k:k + 1, :]                   # (T, 1, Wb*S)
-
-    f0, f1, f2 = row(0), row(1), row(2)
-    f3, f4, f5 = row(3), row(4), row(5)
-    dx = ox - row(14)
-    dy = oy - row(15)
-    f0u = f0 + dx * f1 + dy * f2 + dx * dx * f3 + dy * dy * f4 \
-        + dx * dy * f5
-    f1u = f1 + 2.0 * dx * f3 + dy * f5
-    f2u = f2 + 2.0 * dy * f4 + dx * f5
-    ixr, iyr = row(9), row(10)
-    rw = jax.lax.bitcast_convert_type(row(11), jnp.uint32)
-    rxw = jax.lax.bitcast_convert_type(
-        (rw & 0xFFFF).astype(jnp.uint16), bf16).astype(f32)
-    ryw = jax.lax.bitcast_convert_type(
-        (rw >> 16).astype(jnp.uint16), bf16).astype(f32)
-    covered = ((ixr - rxw < ox + tsz) & (ixr + rxw > ox)
-               & (iyr - ryw < oy + tsz) & (iyr + ryw > oy))
-    gate = jnp.where(covered & live, 0.0, GATE_OFF)
-    z1 = jnp.zeros_like(gate)
-    F = jnp.concatenate([f0u, f1u, f2u, f3, f4, f5, gate, z1],
-                        axis=1)                     # (T, 8, Wb*S)
-    Fh = F.astype(bf16)
-    Fl = (F - Fh.astype(f32)).astype(bf16)
-    F16 = jnp.concatenate([Fh, Fl], axis=1)         # (T, 16, Wb*S)
-    rgb = jnp.concatenate(
-        [pay[:, 6:9].astype(bf16),
-         jnp.zeros((T, 1, Wb * S), bf16)], axis=1)  # (T, 4, Wb*S)
-    w = jax.lax.bitcast_convert_type(pay[:, 12:13], jnp.int32)
-    return F16, rgb, w
-
-
 def pack_tile_rows_v3(tile_blocks, tile_nblocks, tile_nbig, tile_minmax,
                       tile_candidates, heatmap_factor, cfg,
-                      pixel_offset_y=0, big_masks=None):
+                      pixel_offset_y=0):
     """Tile lists -> (TG, GROUP*8, 128) i32 group rows. Per tile g the 8-row
     section holds row0 = [nb, cand, hm16.16, y_off, nbig(group; tile 0
-    only), bucket_lo, bucket_hi (big_bucket_masks; tile 0 only)], rows
-    1-2 = block ids, rows 3-4 = minmax, rows 5-7 spare (feature centers
-    ride payload rows 14/15). Tiles padding gx up to a GROUP multiple get
-    nb = 0. The hm16.16 slot is legacy (heatmap mixing now happens in
-    assemble_image_*); kept for row-layout stability."""
+    only)], rows 1-2 = block ids, rows 3-4 = minmax, rows 5-7 spare
+    (feature centers ride payload rows 14/15). Tiles padding gx up to a
+    GROUP multiple get nb = 0."""
     gx, gy = cfg.tile_dims
     T, C2 = tile_blocks.shape
     assert T == gx * gy and C2 <= 256
@@ -772,11 +686,8 @@ def pack_tile_rows_v3(tile_blocks, tile_nblocks, tile_nbig, tile_minmax,
         rows = jnp.pad(rows.reshape(gy, gx, 8, 128),
                        ((0, 0), (0, gxp - gx), (0, 0), (0, 0)))
     rows = rows.reshape(TG, GROUP, 8, 128)
-    # group big count rides tile 0's header slot 4; bucket masks slots 5/6
+    # group big count rides tile 0's header slot 4
     rows = rows.at[:, 0, 0, 4].set(tile_nbig.astype(jnp.int32))
-    if big_masks is not None:
-        rows = rows.at[:, 0, 0, 5].set(big_masks[:, 0])
-        rows = rows.at[:, 0, 0, 6].set(big_masks[:, 1])
     return rows.reshape(TG, GROUP * 8, 128)
 
 
@@ -901,8 +812,7 @@ def render_tiles_v3(
     rows = pack_tile_rows_v3(bins.tile_blocks, bins.tile_nblocks,
                              tile_bigs.tile_nbig, bins.tile_minmax,
                              bins.tile_candidates,
-                             heatmap_factor, cfg, pixel_offset_y,
-                             big_masks=big_bucket_masks(tile_bigs.bigpay))
+                             heatmap_factor, cfg, pixel_offset_y)
     US = Un * BLOCK_SIZE
     kern = functools.partial(
         _render_kernel_v3, gx2=gx2, tile_size=cfg.tile_size, num_groups=TG,
@@ -933,11 +843,10 @@ def render_tiles_v3(
                            pixel_offset_y=pixel_offset_y)
 
     # Chain slab: the first slab_u batches of every tile's block list,
-    # gathered AND pre-evaluated in XLA (cook_slab) into contiguous
-    # per-tile feature slabs that Pallas auto-pipelines — no per-block DMA
-    # machinery and no in-kernel eval for the batches early exit typically
-    # leaves live (measured ~8% of binned blocks at the headline); deeper
-    # tiles fall through to the in-kernel DMA ring + eval_payload.
+    # gathered in XLA into ONE contiguous per-tile slab that Pallas
+    # auto-pipelines — no per-block DMA machinery for the batches early
+    # exit typically leaves live (measured ~8% of binned blocks at the
+    # headline); deeper tiles fall through to the in-kernel DMA ring.
     if slab_u is None:
         if "GS_SLAB_U" in _os.environ:      # benchmark sweep override only
             slab_u = int(_os.environ["GS_SLAB_U"])
@@ -950,29 +859,19 @@ def render_tiles_v3(
     slab_u = min(slab_u, C2 // Un)
     if slab_u > 0:
         Wb = slab_u * Un
-        t_ids = jnp.arange(TG, dtype=jnp.int32)
-        ox_t = (jax.lax.rem(t_ids, gx2) * (GROUP * cfg.tile_size)
-                ).astype(jnp.float32)
-        oy_t = ((t_ids // gx2) * cfg.tile_size
-                + jnp.asarray(pixel_offset_y, jnp.int32)).astype(jnp.float32)
-        slabf, slabr, slabw = cook_slab(payload, bins.tile_blocks,
-                                        ox_t, oy_t, Wb, cfg.tile_size)
-        WS = Wb * BLOCK_SIZE
-
-        def sspec(rows_, dt):
-            return pl.BlockSpec((1, rows_, WS), lambda t: (t, 0, 0),
-                                memory_space=pltpu.VMEM)
-        slabf_spec, slabr_spec, slabw_spec = (
-            sspec(16, None), sspec(4, None), sspec(1, None))
+        ids = jnp.maximum(bins.tile_blocks[:, :Wb], 0).astype(jnp.int32)
+        slab = payload[ids.reshape(-1)]                 # (TG*Wb, PW, S)
+        slab = slab.reshape(TG, Wb, PAYLOAD_WIDTH, BLOCK_SIZE)
+        slab = slab.transpose(0, 2, 1, 3).reshape(
+            TG, PAYLOAD_WIDTH, Wb * BLOCK_SIZE)
+        slab_spec = pl.BlockSpec((1, PAYLOAD_WIDTH, Wb * BLOCK_SIZE),
+                                 lambda t: (t, 0, 0),
+                                 memory_space=pltpu.VMEM)
     else:
-        slabf = jnp.zeros((1, 16, BLOCK_SIZE), jnp.bfloat16)
-        slabr = jnp.zeros((1, 4, BLOCK_SIZE), jnp.bfloat16)
-        slabw = jnp.zeros((1, 1, BLOCK_SIZE), jnp.int32)
-
-        def zspec(rows_):
-            return pl.BlockSpec((1, rows_, BLOCK_SIZE), lambda t: (0, 0, 0),
-                                memory_space=pltpu.VMEM)
-        slabf_spec, slabr_spec, slabw_spec = zspec(16), zspec(4), zspec(1)
+        slab = jnp.zeros((1, PAYLOAD_WIDTH, BLOCK_SIZE), payload.dtype)
+        slab_spec = pl.BlockSpec((1, PAYLOAD_WIDTH, BLOCK_SIZE),
+                                 lambda t: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
     kern = functools.partial(kern, slab_u=slab_u)
 
     return pl.pallas_call(
@@ -983,9 +882,7 @@ def render_tiles_v3(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            slabf_spec,
-            slabr_spec,
-            slabw_spec,
+            slab_spec,
             pl.BlockSpec((NPX, 8), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((NPX, 8), lambda t: (0, 0),
@@ -1019,32 +916,8 @@ def render_tiles_v3(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(rows, payload, tile_bigs.bigpay, bigla, slabf, slabr, slabw,
-      jnp.asarray(pixf_b_np), jnp.asarray(pixf_lo_np),
-      jnp.asarray(lt_ob_np))
-
-
-def present_planar(rgb, t_exp, cand, heatmap_factor):
-    """Shared v3/v4 present: raw kernel channels -> planar RGBA planes.
-
-    rgb (3, T, NPXG) accumulated color, t_exp (T, NPXG) PRE-exp
-    transmittance carry, cand (T, NPXG) per-lane candidate counts (or
-    None), heatmap_factor scalar (or None). Applies exp + the reference's
-    heatmap mix (main.gd:60-63 colors) as batched XLA work — these were
-    ~15 VPU ops per sequential grid step inside the kernels. ONE shared
-    implementation keeps the v3-vs-v4 bit-identity property tests rely on.
-    Returns ((4, T, NPXG) planes, t_final (T, NPXG))."""
-    t_final = jnp.exp(t_exp)
-    ones = jnp.ones_like(t_final)
-    if heatmap_factor is None or cand is None:
-        r, g, b = rgb[0], rgb[1], rgb[2]
-    else:
-        mixf = cand.astype(jnp.float32) * 5e-4
-        cov = (1.0 - t_final) * heatmap_factor
-        r = rgb[0] + (1.0 * mixf) * cov
-        g = rgb[1] + (0.2 * mixf) * cov
-        b = rgb[2] + (1.0 - 0.8 * mixf) * cov
-    return jnp.stack([r, g, b, ones]), t_final
+    )(rows, payload, tile_bigs.bigpay, bigla, slab, jnp.asarray(pixf_b_np),
+      jnp.asarray(pixf_lo_np), jnp.asarray(lt_ob_np))
 
 
 def tile_channels_v3(tiles: jnp.ndarray, cfg: RasterizerConfig):
@@ -1057,8 +930,7 @@ def tile_channels_v3(tiles: jnp.ndarray, cfg: RasterizerConfig):
     return t4[:, :gx].reshape(gy * gx, NPX, C)
 
 
-def assemble_image_v3(tiles: jnp.ndarray, cfg: RasterizerConfig,
-                      heatmap_factor=None, tile_candidates=None):
+def assemble_image_v3(tiles: jnp.ndarray, cfg: RasterizerConfig):
     """(TG, GROUP*NPX, OUT_CH) group buffer -> ((4, H, W) PLANAR image,
     (T, NPX) t_final).
 
@@ -1067,28 +939,17 @@ def assemble_image_v3(tiles: jnp.ndarray, cfg: RasterizerConfig,
     and cost ~10 ms/frame in pure relayout at the 1080p headline (round-4
     device trace: transpose+copy+slice at ~3 ms each); channel planes keep
     W on the 128-lane axis. Hosts get (H, W, 4) back with a free
-    np.moveaxis view (utils/image.hwc). Also applies the present math the
-    kernel no longer does (present_planar): exp of the transmittance
-    carry and, when heatmap_factor/tile_candidates are given, the heatmap
-    overlay. Parity note: the reference renders into an opaque GPU-tiled
-    texture too (gaussian_splatting_rasterizer.gd:26-48) — channel order
-    there is equally a present-time concern."""
+    np.moveaxis view (utils/image.hwc). Parity note: the reference renders
+    into an opaque GPU-tiled texture too (gaussian_splatting_rasterizer.gd
+    :26-48) — channel order there is equally a present-time concern."""
     gx, gy = cfg.tile_dims
     gx2 = -(-gx // GROUP)
     ts = cfg.tile_size
-    NPX = ts * ts
     w, h = cfg.target_size
-    TG = tiles.shape[0]
-    chp = tiles.transpose(2, 0, 1)                # (8, TG, G*NPX)
-    cand = None
-    if tile_candidates is not None:
-        cpad = jnp.pad(tile_candidates.reshape(gy, gx),
-                       ((0, 0), (0, gx2 * GROUP - gx)))
-        cand = jnp.repeat(cpad.reshape(TG, GROUP), NPX, axis=1)
-    planes, t_f = present_planar(chp[:3], chp[4], cand, heatmap_factor)
-    t_final = t_f.reshape(gy, gx2 * GROUP, NPX)[:, :gx].reshape(
-        gy * gx, NPX)
-    img = planes.reshape(4, gy, gx2, GROUP, ts, ts)
+    per_tile = tiles.reshape(gy, gx2 * GROUP, ts, ts, OUT_CH)
+    t_final = per_tile[:, :gx, :, :, 4].reshape(gy * gx, ts * ts)
+    chp = tiles.transpose(2, 0, 1)[:4]            # (4, TG, G*NPX)
+    img = chp.reshape(4, gy, gx2, GROUP, ts, ts)
     img = img.transpose(0, 1, 4, 2, 3, 5).reshape(
         4, gy * ts, gx2 * GROUP * ts)
     return img[:, :h, :w], t_final

@@ -67,12 +67,8 @@ def _render_kernel_v4(
     payload_hbm,     # (B, PW, S) f32 ANY — chain payload (ring tail)
     bigpay_ref,      # (1, PW, GT*OBIG) f32 VMEM — unified big payloads
     bigla_ref,       # (1, NPX, GT*OBIG) cdt VMEM — unified big la maps
-    slabf_ref,       # (1, slab_u, 16, L) bf16 VMEM — COOKED lockstep slab
-                     # batches (cook_slab feature hi/lo halves, lanes
-                     # pre-arranged [tile0 U blocks | tile1 ...]; dummy
-                     # zeros when slab_u == 0)
-    slabr_ref,       # (1, slab_u, 4, L) bf16 VMEM — cooked rgb rows
-    slabw_ref,       # (1, slab_u, 1, L) i32 VMEM — cooked order ranks
+    slab_ref,        # (1, slab_u, PW, L) f32 VMEM — pre-arranged first
+                     # slab_u lockstep batches (dummy when slab_u == 0)
     pixf_cat_ref,    # (NPX, 16|24) bf16 VMEM — fused hi/lo pixel features
     lt_diag_ref,     # (GT*OBIG, GT*OBIG) cdt VMEM — block-diagonal strict
                      # lower triangle (per-tile big segments)
@@ -154,6 +150,8 @@ def _render_kernel_v4(
     any_big = has_big[0]
     for g in range(1, GT):
         any_big = any_big | has_big[g]
+    hm_f = [row_smem[slot_r, g * 8, 2].astype(f32) * (1.0 / 65536.0)
+            for g in range(GT)]
     y_off = row_smem[slot_r, 0, 3]
 
     # per-tile pixel origins -> per-lane (1, L) origin vectors
@@ -204,19 +202,15 @@ def _render_kernel_v4(
     pixf_cat = pixf_cat_ref[...]
     three = pixf_cat.shape[1] == 24
 
-    def mm_from_parts(F_cat):
-        if three:
-            F_cat = jnp.concatenate([F_cat, F_cat[:8]], axis=0)
-        P = jax.lax.dot_general(
-            pixf_cat, F_cat, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32)
-        alpha = jnp.minimum(jnp.exp(P), ALPHA_MAX)
-        return alpha, jnp.log1p(-alpha)
-
     def mm_power(F_all):
         Fh = F_all.astype(bf16)
         Fl = (F_all - Fh.astype(f32)).astype(bf16)
-        return mm_from_parts(jnp.concatenate([Fh, Fl], axis=0))
+        parts = [Fh, Fl] + ([Fh] if three else [])
+        P = jax.lax.dot_general(
+            pixf_cat, jnp.concatenate(parts, axis=0),
+            (((1,), (0,)), ((), ())), preferred_element_type=f32)
+        alpha = jnp.minimum(jnp.exp(P), ALPHA_MAX)
+        return alpha, jnp.log1p(-alpha)
 
     # --- init per-step state -------------------------------------------------
     acc[...] = jnp.zeros((NPX, 4 * GT), f32)
@@ -240,17 +234,25 @@ def _render_kernel_v4(
         big_d[...] = d_row
         big_w[...] = ((d_i << 16) | ((i_row >> 7) & 0xFFFF)) ^ jnp.int32(
             -0x80000000)
-        # per-tile big totals
+        # per-tile big totals + 32-bucket occupancy masks
+        bseg = jax.lax.broadcasted_iota(jnp.int32, (1, GTOB), 1) // obig
         lacf = lac.astype(f32)
         for g in range(GT):
             bsl = slice(g * obig, (g + 1) * obig)
             tvals[:, GT + g:GT + g + 1] = jnp.sum(
                 lacf[:, bsl], axis=1, keepdims=True)
-        # bucket masks precomputed in XLA (render_pallas3.big_bucket_masks),
-        # carried in header slots 5/6 of each tile's row section
+        bucket = jnp.where(d_row < 0.5 * DEPTH_INVALID,
+                           (d_row * (1.0 / 2048.0)).astype(jnp.int32), -1)
         for g in range(GT):
-            meta[5 * g + 2] = row_smem[slot_r, g * 8, 5]
-            meta[5 * g + 3] = row_smem[slot_r, g * 8, 6]
+            bk_g = jnp.where(bseg == g, bucket, -1)          # (1, GTOB)
+            biot = jax.lax.broadcasted_iota(jnp.int32, (32, GTOB), 0)
+            hit_b = jnp.max(jnp.where(biot == bk_g, 1, 0), axis=1,
+                            keepdims=True)                   # (32, 1)
+            b32 = jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0)
+            pw2 = jnp.left_shift(jnp.ones((32, 1), jnp.int32),
+                                 jnp.bitwise_and(b32, 15))
+            meta[5 * g + 2] = jnp.sum(jnp.where(b32 < 16, hit_b * pw2, 0))
+            meta[5 * g + 3] = jnp.sum(jnp.where(b32 >= 16, hit_b * pw2, 0))
 
     # --- chain stream ---------------------------------------------------------
     def start_batch(k, slot_idx):
@@ -293,53 +295,30 @@ def _render_kernel_v4(
     def live_flag(g):
         return meta[5 * g + 4] != 0
 
-    def batch_body(k, pay_all=None, cooked=None):
-        """One lockstep batch. pay_all: raw (PW, L) ring payload (in-kernel
-        eval); cooked: (F16 (16, L) bf16, rgb4 (4, L) bf16, w (1, L) i32)
-        pre-evaluated by cook_slab in XLA (the slab path). Cooked gates
-        encode only entry validity; exited tiles' lanes are re-gated here
-        (the cook happens before the exit flags exist)."""
+    def batch_body(k, pay_all):
         grp = jax.lax.rem(k, 2)
         sc, sp = grp, 1 - grp
 
-        # per-tile exit flags as a (1, L) lane gate
-        fv = jnp.ones((1, L), jnp.int32)
+        # per-lane live mask: block in range AND tile not exited
+        lv = lane_blk < (nb_vec - k * U)
         if early_exit:
             fv = jnp.zeros((1, L), jnp.int32)
             for g in range(GT):
                 fv = jnp.where(seg == g, meta[5 * g + 4], fv)
+            lv = lv & (fv != 0)
 
-        if cooked is not None:
-            F16, rgbT4, w_cur = cooked
-            if early_exit:
-                # turn the gate rows (6 = hi, 14 = lo) OFF for exited tiles
-                rid = jax.lax.broadcasted_iota(jnp.int32, (16, L), 0)
-                gate_row = (rid == 6) | (rid == 14)
-                F16 = jnp.where(gate_row & (fv == 0),
-                                jnp.bfloat16(GATE_OFF), F16)
-            if "eval" in ablate:
-                la = jnp.full((NPX, L), -0.01, f32)
-                al = jnp.full((NPX, L), 0.00995, f32)
-            else:
-                al, la = mm_from_parts(F16)                  # (NPX, L)
+        F_all, rgbT, w_cur = eval_payload(pay_all, lv, ox_vec, oy_vec)
+        if "eval" in ablate:
+            la = jnp.full((NPX, L), -0.01, f32)
+            al = jnp.full((NPX, L), 0.00995, f32)
         else:
-            # per-lane live mask: block in range AND tile not exited
-            lv = lane_blk < (nb_vec - k * U)
-            if early_exit:
-                lv = lv & (fv != 0)
-            F_all, rgbT, w_cur = eval_payload(pay_all, lv, ox_vec, oy_vec)
-            rgbT4 = jnp.concatenate(
-                [rgbT, jnp.zeros((1, L), bf16)], axis=0)
-            if "eval" in ablate:
-                la = jnp.full((NPX, L), -0.01, f32)
-                al = jnp.full((NPX, L), 0.00995, f32)
-            else:
-                al, la = mm_power(F_all)                     # (NPX, L)
+            al, la = mm_power(F_all)                         # (NPX, L)
         lac = la.astype(cdt)
 
         pend_la[sc] = lac
         pend_al[sc] = al.astype(bf16)
-        pend_rgb[sc] = rgbT4
+        pend_rgb[sc] = jnp.concatenate(
+            [rgbT, jnp.zeros((1, L), bf16)], axis=0)
         pend_w[sc] = w_cur
 
         d_big = big_d[...]
@@ -483,8 +462,7 @@ def _render_kernel_v4(
         go_k = cond(jnp.int32(kk))
         @pl.when(go_k)
         def _(kk=kk):
-            batch_body(jnp.int32(kk), cooked=(
-                slabf_ref[0, kk], slabr_ref[0, kk], slabw_ref[0, kk]))
+            batch_body(jnp.int32(kk), slab_ref[0, kk])
         k0 = jnp.where(go_k, jnp.int32(kk + 1), k0)
 
     ring_go = cond(k0)
@@ -517,17 +495,24 @@ def _render_kernel_v4(
                 w, big_rgb[:, bsl], (((1,), (1,)), ((), ())),
                 preferred_element_type=f32)
 
-    # --- raw channel write per tile (exp/heatmap/alpha moved to
-    # assemble_image_v4 -> present_planar) -------------------------------------
+    # --- present per tile -----------------------------------------------------
     ch = jax.lax.broadcasted_iota(jnp.int32, (NPX, OUT_CH), 1)
     for g in range(GT):
         t_exp = tvals[:, g:g + 1] + jnp.where(
             has_big[g], tvals[:, GT + g:GT + g + 1],
             jnp.zeros((NPX, 1), f32))
+        t_final = jnp.exp(t_exp)
+        mixf = row_smem[slot_r, g * 8, 1].astype(f32) * 5e-4
+        cov = (1.0 - t_final) * hm_f[g]
+        hm = jnp.where(ch == 0, 1.0 * mixf,
+                       jnp.where(ch == 1, 0.2 * mixf,
+                                 jnp.where(ch == 2, 1.0 - 0.8 * mixf,
+                                           0.0))) * cov
         a4 = acc[:, 4 * g:4 * g + 4]
         out = jnp.concatenate(
-            [a4[:, 0:3], jnp.zeros((NPX, OUT_CH - 3), f32)], axis=1)
-        out = jnp.where(ch == 4, t_exp, out)   # PRE-exp carry
+            [a4[:, 0:3], jnp.zeros((NPX, OUT_CH - 3), f32)], axis=1) + hm
+        out = jnp.where(ch == 3, 1.0, out)
+        out = jnp.where(ch == 4, t_final, out)
         proc = jnp.minimum(kxit[g] * U, nb[g]).astype(f32)
         out = jnp.where(ch == 5, proc, out)
         out = jnp.where(ch == 6, nb[g].astype(f32), out)
@@ -584,13 +569,10 @@ def render_tiles_v4(
                 f"GS_KERNEL_ABLATE={ablate!r}: kernel stages STRIPPED.",
                 RuntimeWarning, stacklevel=2)
 
-    from .render_pallas3 import big_bucket_masks
     rows = pack_tile_rows_v3(bins.tile_blocks, bins.tile_nblocks,
                              tile_bigs.tile_nbig, bins.tile_minmax,
                              bins.tile_candidates, heatmap_factor, cfg,
-                             pixel_offset_y,
-                             big_masks=big_bucket_masks(tile_bigs.bigpay))
-    # (T, 8, 128) @GROUP=1
+                             pixel_offset_y)          # (T, 8, 128) @GROUP=1
 
     def padt(a):
         return jnp.pad(a, ((0, T4 * GT - T),) + ((0, 0),) * (a.ndim - 1))
@@ -615,36 +597,20 @@ def render_tiles_v4(
     slab_u = min(slab_u, C2 // Un)
     if slab_u > 0:
         Wb = slab_u * Un
-        from .render_pallas3 import cook_slab
-        t_ids = jnp.arange(T, dtype=jnp.int32)
-        ox_t = (jax.lax.rem(t_ids, gx) * cfg.tile_size).astype(jnp.float32)
-        oy_t = ((t_ids // gx) * cfg.tile_size
-                + jnp.asarray(pixel_offset_y, jnp.int32)).astype(jnp.float32)
-        ck = cook_slab(payload, bins.tile_blocks, ox_t, oy_t, Wb,
-                       cfg.tile_size)          # 3x (T, rows, Wb*S)
-
-        def arrange(a):
-            rows_ = a.shape[1]
-            a = padt(a).reshape(T4, GT, rows_, slab_u, US)
-            return a.transpose(0, 3, 2, 1, 4).reshape(
-                T4, slab_u, rows_, L)
-        slabf, slabr, slabw = (arrange(a) for a in ck)
-
-        def sspec(rows_):
-            return pl.BlockSpec((1, slab_u, rows_, L),
-                                lambda t: (t, 0, 0, 0),
-                                memory_space=pltpu.VMEM)
-        slabf_spec, slabr_spec, slabw_spec = sspec(16), sspec(4), sspec(1)
+        ids = padt(jnp.maximum(bins.tile_blocks[:, :Wb], 0)
+                   .astype(jnp.int32))                   # (T4*GT, Wb)
+        slab = payload[ids.reshape(-1)]
+        slab = slab.reshape(T4, GT, slab_u, Un, PAYLOAD_WIDTH, BLOCK_SIZE)
+        slab = slab.transpose(0, 2, 4, 1, 3, 5).reshape(
+            T4, slab_u, PAYLOAD_WIDTH, L)
+        slab_spec = pl.BlockSpec((1, slab_u, PAYLOAD_WIDTH, L),
+                                 lambda t: (t, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
     else:
-        slabf = jnp.zeros((1, 1, 16, BLOCK_SIZE), jnp.bfloat16)
-        slabr = jnp.zeros((1, 1, 4, BLOCK_SIZE), jnp.bfloat16)
-        slabw = jnp.zeros((1, 1, 1, BLOCK_SIZE), jnp.int32)
-
-        def zspec(rows_):
-            return pl.BlockSpec((1, 1, rows_, BLOCK_SIZE),
-                                lambda t: (0, 0, 0, 0),
-                                memory_space=pltpu.VMEM)
-        slabf_spec, slabr_spec, slabw_spec = zspec(16), zspec(4), zspec(1)
+        slab = jnp.zeros((1, 1, PAYLOAD_WIDTH, BLOCK_SIZE), payload.dtype)
+        slab_spec = pl.BlockSpec((1, 1, PAYLOAD_WIDTH, BLOCK_SIZE),
+                                 lambda t: (0, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
 
     import numpy as _np
     ts = cfg.tile_size
@@ -681,9 +647,7 @@ def render_tiles_v4(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, NPX, GT * obig), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            slabf_spec,
-            slabr_spec,
-            slabw_spec,
+            slab_spec,
             pl.BlockSpec((NPX, pixf_cat_np.shape[1]), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((GT * obig, GT * obig), lambda t: (0, 0),
@@ -713,8 +677,8 @@ def render_tiles_v4(
             pltpu.SemaphoreType.DMA((2, GT, Un)),
         ],
         interpret=interpret,
-    )(rows4, payload, bigpay4, bigla4, slabf, slabr, slabw,
-      jnp.asarray(pixf_cat_np), jnp.asarray(lt_np))
+    )(rows4, payload, bigpay4, bigla4, slab, jnp.asarray(pixf_cat_np),
+      jnp.asarray(lt_np))
 
 
 def tile_channels_v4(tiles: jnp.ndarray, cfg: RasterizerConfig):
@@ -726,25 +690,19 @@ def tile_channels_v4(tiles: jnp.ndarray, cfg: RasterizerConfig):
     return tiles.reshape(-1, NPX, C)[:T]
 
 
-def assemble_image_v4(tiles: jnp.ndarray, cfg: RasterizerConfig,
-                      heatmap_factor=None, tile_candidates=None):
+def assemble_image_v4(tiles: jnp.ndarray, cfg: RasterizerConfig):
     """(T4, GT*NPX, OUT_CH) -> ((4, H, W) PLANAR image, (T, NPX) t_final).
 
-    Channel-planar for the same reason as assemble_image_v3 (channels-minor
-    (H, W, 4) tiles at 4/128 lane utilization on TPU); applies the shared
-    present math (render_pallas3.present_planar)."""
-    from .render_pallas3 import present_planar
+    Channel-planar for the same reason as assemble_image_v3: channels-minor
+    (H, W, 4) tiles at 4/128 lane utilization on TPU."""
     gx, gy = cfg.tile_dims
     ts = cfg.tile_size
     w, h = cfg.target_size
     T = gx * gy
     NPX = ts * ts
-    chp = tiles.transpose(2, 0, 1).reshape(
-        OUT_CH, -1, NPX)[:, :T]                      # (8, T, NPX)
-    cand = None
-    if tile_candidates is not None:
-        cand = jnp.repeat(tile_candidates.reshape(T, 1), NPX, axis=1)
-    planes, t_final = present_planar(chp[:3], chp[4], cand, heatmap_factor)
-    img = planes.reshape(4, gy, gx, ts, ts)
+    per_tile = tile_channels_v4(tiles, cfg)          # (T, NPX, OUT_CH)
+    t_final = per_tile[:, :, 4]
+    chp = tiles.transpose(2, 0, 1)[:4].reshape(4, -1, NPX)[:, :T]
+    img = chp.reshape(4, gy, gx, ts, ts)
     img = img.transpose(0, 1, 3, 2, 4).reshape(4, gy * ts, gx * ts)
     return img[:, :h, :w], t_final

@@ -264,8 +264,7 @@ def render_frame_fast_sharded(
         tiles = render_tiles_v3(
             pool.payload, bins, tile_bigs, heatmap, slab_cfg, lowp=lowp,
             interpret=interpret, pixel_offset_y=y0 * cfg.tile_size)
-        image, _ = assemble_image_v3(tiles, slab_cfg, heatmap,
-                                     bins.tile_candidates)  # (4, Hslab, W)
+        image, _ = assemble_image_v3(tiles, slab_cfg)   # (4, Hslab, W)
         total_pairs = jax.lax.psum(bf.num_culled_pairs, "tile")
         total_over = jax.lax.psum(over, "tile")
         return image[None], total_pairs[None], total_over[None]
