@@ -2,10 +2,12 @@
 """Aggregate per-op device time from a jax.profiler trace directory.
 
 Parses the perfetto-style trace.json.gz the TPU profiler writes alongside
-the xplane proto, sums durations of complete events on TensorCore tracks,
-and prints a per-op ms/frame table (assumes 8 traced frames by default).
+the xplane proto. Leaf XLA ops carry `args.long_name` (full HLO with
+shapes) and `args.hlo_category`; control-flow wrappers (while/body
+regions) nest their children, so only leaf categories are aggregated —
+EXCEPT custom-calls (the Pallas kernels), which are leaves themselves.
 
-Usage: python benchmarks/trace_ops.py /tmp/gsprof2 [n_frames] [top]
+Usage: python benchmarks/trace_ops.py <tracedir> [n_frames] [top]
 """
 
 import gzip
@@ -13,6 +15,8 @@ import json
 import glob
 import sys
 from collections import Counter
+
+SKIP_CATS = {"while", "conditional", ""}
 
 
 def load(outdir):
@@ -25,37 +29,39 @@ def load(outdir):
 def main():
     outdir = sys.argv[1]
     n_frames = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    top = int(sys.argv[3]) if len(sys.argv) > 3 else 45
+    top = int(sys.argv[3]) if len(sys.argv) > 3 else 40
     data = load(outdir)
     events = data["traceEvents"]
-    # Identify TensorCore process/thread ids (XLA op tracks).
-    names = {}
-    for e in events:
-        if e.get("ph") == "M" and e.get("name") in ("process_name", "thread_name"):
-            key = (e.get("pid"), e.get("tid"), e["name"])
-            names[key] = e["args"].get("name", "")
-    core_pids = {pid for (pid, tid, kind), v in names.items()
-                 if kind == "process_name" and ("TPU" in v or "Core" in v or "/device" in v)}
-    agg, cnt = Counter(), Counter()
+    agg, cnt, meta, cat_agg = Counter(), Counter(), {}, Counter()
     total = 0.0
     for e in events:
         if e.get("ph") != "X":
             continue
-        pid = e.get("pid")
-        if core_pids and pid not in core_pids:
+        args = e.get("args") or {}
+        cat = args.get("hlo_category")
+        if cat is None or cat in SKIP_CATS:
             continue
-        tname = names.get((pid, e.get("tid"), "thread_name"), "")
-        if "step" in tname.lower():
-            continue  # step track double-counts
+        # jit_run / module wrappers have no category; region wrappers are
+        # skipped above. "fusion" names may repeat across frames.
+        name = e["name"]
         dur = float(e.get("dur", 0.0))
-        agg[e["name"]] += dur
-        cnt[e["name"]] += 1
+        agg[name] += dur
+        cnt[name] += 1
+        cat_agg[cat] += dur
         total += dur
-    print(f"tracks: {sorted({names.get((p, t, 'thread_name'), '') for (p, t, k) in names if k == 'thread_name' and p in core_pids})}")
-    print(f"device op time: {total/1e3:.1f} ms total -> {total/1e3/n_frames:.2f} ms/frame")
-    print(f"{'op':64s} {'ms/frame':>9s} {'count':>6s}")
+        if name not in meta:
+            ln = args.get("long_name", "")
+            meta[name] = (cat, ln[:160])
+    print(f"leaf device op time: {total/1e3:.1f} ms -> "
+          f"{total/1e3/n_frames:.2f} ms/frame")
+    print("\nby category (ms/frame):")
+    for c, d in cat_agg.most_common():
+        print(f"  {c:28s} {d/1e3/n_frames:8.3f}")
+    print(f"\n{'op':28s} {'ms/fr':>7s} {'cnt':>4s}  what")
     for name, d in agg.most_common(top):
-        print(f"{name[:64]:64s} {d/1e3/n_frames:9.3f} {cnt[name]:6d}")
+        cat, ln = meta[name]
+        print(f"{name[:28]:28s} {d/1e3/n_frames:7.3f} {cnt[name]:4d}  "
+              f"[{cat}] {ln[:110]}")
 
 
 if __name__ == "__main__":

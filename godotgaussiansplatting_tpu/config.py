@@ -92,8 +92,11 @@ class RasterizerConfig:
     # Fast path: the first slab_u batches of every tile's chain are
     # pre-gathered by XLA into one contiguous slab that Pallas auto-pipelines
     # (0 disables; the in-kernel DMA ring serves the tail either way).
-    # GS_SLAB_U env var overrides for benchmark sweeps only.
-    slab_u: int = 2
+    # Default 0 BY MEASUREMENT (round 4, 5.8M/1080p headline): the XLA slab
+    # gather costs slightly more than the in-kernel DMA ring it replaces
+    # (whole frame 136.7 ms with slab_u=2 vs 134.0 ms with 0) and holds a
+    # ~534 MB intermediate alive. GS_SLAB_U env var overrides for sweeps.
+    slab_u: int = 0
     # v4 kernel only: tiles composited in lockstep per grid step (VMEM
     # scratch scales with it; 4 ~= 11 MB). GS_GT env var overrides for
     # benchmark sweeps only.

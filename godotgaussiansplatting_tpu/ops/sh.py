@@ -31,34 +31,40 @@ def eval_sh_color(view_dir: jnp.ndarray, sh: jnp.ndarray, degree: int = 3) -> jn
     """
     # bf16 coefficient arrays are accepted (the fast path keeps a resident
     # half-precision SH copy — its 1.1 GB f32 read dominates projection HBM
-    # traffic at 5.8M splats); the upcast fuses into this elementwise chain
-    # so the band math always accumulates in f32.
-    sh = sh.astype(jnp.float32)
+    # traffic at 5.8M splats). Each band coefficient is SLICED from the
+    # bf16 array and upcast individually: a whole-array astype up front
+    # measured as a separately materialized f32[5.8M,16,3] convert at the
+    # headline (+3.8 ms convert + 2.5 ms consumer, a 1.1 GB HBM round-trip
+    # XLA did not fuse into the chain); per-slice converts do fuse. Band
+    # math still accumulates in f32.
+    def co(k):
+        return sh[:, k].astype(jnp.float32)
+
     x = view_dir[:, 0:1]
     y = view_dir[:, 1:2]
     z = view_dir[:, 2:3]
-    c = 0.5 + sh[:, 0] * SH_C0
+    c = 0.5 + co(0) * SH_C0
     if degree >= 1:
         c = (c
-             - sh[:, 1] * (SH_C1 * y)
-             + sh[:, 2] * (SH_C1 * z)
-             - sh[:, 3] * (SH_C1 * x))
+             - co(1) * (SH_C1 * y)
+             + co(2) * (SH_C1 * z)
+             - co(3) * (SH_C1 * x))
     if degree >= 2:
         xx, yy, zz = x * x, y * y, z * z
         xy, yz, xz = x * y, y * z, x * z
         c = (c
-             + sh[:, 4] * (SH_C2[0] * xy)
-             - sh[:, 5] * (SH_C2[1] * yz)
-             + sh[:, 6] * (SH_C2[2] * (2.0 * zz - xx - yy))
-             - sh[:, 7] * (SH_C2[3] * xz)
-             + sh[:, 8] * (SH_C2[4] * (xx - yy)))
+             + co(4) * (SH_C2[0] * xy)
+             - co(5) * (SH_C2[1] * yz)
+             + co(6) * (SH_C2[2] * (2.0 * zz - xx - yy))
+             - co(7) * (SH_C2[3] * xz)
+             + co(8) * (SH_C2[4] * (xx - yy)))
     if degree >= 3:
         c = (c
-             - sh[:, 9] * (SH_C3[0] * y * (3.0 * xx - yy))
-             + sh[:, 10] * (SH_C3[1] * x * yz)
-             - sh[:, 11] * (SH_C3[2] * y * (4.0 * zz - xx - yy))
-             + sh[:, 12] * (SH_C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy))
-             - sh[:, 13] * (SH_C3[4] * x * (4.0 * zz - xx - yy))
-             + sh[:, 14] * (SH_C3[5] * z * (xx - yy))
-             - sh[:, 15] * (SH_C3[6] * x * (xx - 3.0 * yy)))
+             - co(9) * (SH_C3[0] * y * (3.0 * xx - yy))
+             + co(10) * (SH_C3[1] * x * yz)
+             - co(11) * (SH_C3[2] * y * (4.0 * zz - xx - yy))
+             + co(12) * (SH_C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy))
+             - co(13) * (SH_C3[4] * x * (4.0 * zz - xx - yy))
+             + co(14) * (SH_C3[5] * z * (xx - yy))
+             - co(15) * (SH_C3[6] * x * (xx - 3.0 * yy)))
     return jnp.maximum(c, 0.0)
