@@ -645,16 +645,16 @@ def _render_kernel_v3(
     out = jnp.where(ch == 5, cols_v[:, 7:8], out)
     out = jnp.where(ch == 6, nb_px, out)
     out = jnp.where(ch == 7, nbig.astype(f32), out)
-    # write CHANNEL-PLANAR (OUT_CH, ts, G*ts): the per-step block lands at
-    # its (row, col) tile window of the planar (OUT_CH, H, W) image, so the
-    # frame needs NO post-kernel untiling at all — the XLA relayout chain
-    # (channels-minor transpose + crop copy) measured ~7 ms/frame at the
-    # 1080p headline; the in-kernel (NPXG, 8) -> (8, NPXG) transpose is a
-    # few vector shuffles per step.
-    outp = jnp.transpose(out, (1, 0)).reshape(OUT_CH, G, tile_size,
-                                              tile_size)
-    out_ref[...] = jnp.transpose(outp, (0, 2, 1, 3)).reshape(
-        OUT_CH, tile_size, G * tile_size)
+    # write CHANNEL-MAJOR per tile: (NPXG, 8) transposed in-kernel (a few
+    # vector shuffles) so the post-kernel image assembly never touches a
+    # channels-minor layout — the old (TG, NPX, 8) buffer cost ~7 ms/frame
+    # in XLA relayouts at the 1080p headline (channels-minor transposes at
+    # 4/128 lane utilization + a crop copying at ~10 GB/s). Writing the
+    # planar (OUT_CH, H, W) image directly from the kernel is not
+    # expressible today: a (OUT_CH, ts, ts) output block violates Mosaic's
+    # (8, 128) block-minor divisibility, and the row-block alternative
+    # needs dynamic-lane-offset vector stores, which Mosaic rejects.
+    out_ref[0] = jnp.transpose(out, (1, 0))
 
 
 def pack_tile_rows_v3(tile_blocks, tile_nblocks, tile_nbig, tile_minmax,
@@ -899,13 +899,9 @@ def render_tiles_v3(
             pl.BlockSpec((obig, obig), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (OUT_CH, cfg.tile_size, GROUP * cfg.tile_size),
-            lambda t: (0, t // gx2, jax.lax.rem(t, gx2)),
-            memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(
-            (OUT_CH, gy * cfg.tile_size, gx2 * GROUP * cfg.tile_size),
-            jnp.float32),
+        out_specs=pl.BlockSpec((1, OUT_CH, NPXG), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((TG, OUT_CH, NPXG), jnp.float32),
         scratch_shapes=[
             pltpu.SMEM((2, GROUP * 8, 128), jnp.int32),
             pltpu.SMEM((6,), jnp.int32),
@@ -934,34 +930,36 @@ def render_tiles_v3(
 
 
 def tile_channels_v3(tiles: jnp.ndarray, cfg: RasterizerConfig):
-    """(OUT_CH, Hp, Wp) planar kernel buffer -> (T, NPX, C) per true tile."""
+    """(TG, OUT_CH, GROUP*NPX) kernel buffer -> (T, NPX, C) per true tile."""
     gx, gy = cfg.tile_dims
     gx2 = -(-gx // GROUP)
-    ts = cfg.tile_size
-    C = tiles.shape[0]
-    t5 = tiles.reshape(C, gy, ts, gx2 * GROUP, ts)
-    t5 = t5.transpose(1, 3, 2, 4, 0)[:, :gx]      # (gy, gx, ts, ts, C)
-    return t5.reshape(gy * gx, ts * ts, C)
+    NPX = cfg.tile_size * cfg.tile_size
+    C = tiles.shape[1]
+    t4 = tiles.reshape(gy, gx2 * GROUP, C, NPX)
+    return t4[:, :gx].reshape(gy * gx, C, NPX).transpose(0, 2, 1)
 
 
 def assemble_image_v3(tiles: jnp.ndarray, cfg: RasterizerConfig):
-    """(OUT_CH, Hp, Wp) planar kernel buffer -> ((4, H, W) PLANAR image,
-    (T, NPX) t_final).
+    """(TG, OUT_CH, GROUP*NPX) channel-major kernel buffer ->
+    ((4, H, W) PLANAR image, (T, NPX) t_final).
 
-    The kernel writes its per-tile output block directly into the tile's
-    (row, col) window of a channel-planar (OUT_CH, H, W) buffer, so image
-    assembly is a pure crop. (Round-4 device trace: the previous
-    (TG, NPX, 8) pixel-major buffer cost ~7 ms/frame in XLA relayouts —
-    a channels-minor target tiles at 4/128 lane utilization, and even the
-    1088 -> 1080 crop copied at ~10 GB/s in that layout.) Hosts get
-    (H, W, 4) back with a free np.moveaxis view (utils/image.hwc). Parity
-    note: the reference renders into an opaque GPU-tiled texture too
-    (gaussian_splatting_rasterizer.gd:26-48) — channel order there is
-    equally a present-time concern."""
+    The kernel transposes each tile's pixels to channel-major in-kernel,
+    so this untiling never touches a channels-minor layout — the previous
+    (TG, NPX, 8) pixel-major buffer cost ~7 ms/frame in XLA relayouts at
+    the 1080p headline (channels-minor transposes at 4/128 lane
+    utilization, and even the 1088 -> 1080 crop copied at ~10 GB/s in
+    that layout). Hosts get (H, W, 4) back with a free np.moveaxis view
+    (utils/image.hwc). Parity note: the reference renders into an opaque
+    GPU-tiled texture too (gaussian_splatting_rasterizer.gd:26-48) —
+    channel order there is equally a present-time concern."""
     gx, gy = cfg.tile_dims
+    gx2 = -(-gx // GROUP)
     ts = cfg.tile_size
     w, h = cfg.target_size
-    t_final = tiles[4].reshape(gy, ts, -1, ts)
-    t_final = t_final.transpose(0, 2, 1, 3)[:, :gx].reshape(
-        gy * gx, ts * ts)
-    return tiles[:4, :h, :w], t_final
+    t_final = tiles[:, 4].reshape(gy, gx2 * GROUP, ts * ts)
+    t_final = t_final[:, :gx].reshape(gy * gx, ts * ts)
+    chp = tiles.transpose(1, 0, 2)[:4]            # (4, TG, G*NPX)
+    img = chp.reshape(4, gy, gx2 * GROUP, ts, ts)
+    img = img.transpose(0, 1, 3, 2, 4).reshape(
+        4, gy * ts, gx2 * GROUP * ts)
+    return img[:, :h, :w], t_final
