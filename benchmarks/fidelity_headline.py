@@ -79,10 +79,12 @@ def main():
     from godotgaussiansplatting_tpu.utils.image import hwc, write_png
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 5_800_000
-    obigs = ([int(x) for x in sys.argv[2].split(",")]
-             if len(sys.argv) > 2 else [128, 256])
+    # fast variants: "tile_size:obig" pairs (argv[2] or GS_FID_CONFIGS)
+    spec = (sys.argv[2] if len(sys.argv) > 2
+            else os.environ.get("GS_FID_CONFIGS", "16:128,32:128,32:256"))
+    variants = [tuple(int(x) for x in v.split(":")) for v in spec.split(",")]
     cfg = gs.RasterizerConfig(width=1920, height=1080, quality="fast")
-    print(f"{n} splats @1920x1080, obig sweep {obigs},",
+    print(f"{n} splats @1920x1080, fast variants {variants},",
           jax.default_backend(), flush=True)
     base_cloud = get_cloud(n)
     cam = gs.orbit_trajectory(1, radius=5.0, target=(0, 0, 6.0))[0]
@@ -126,23 +128,26 @@ def main():
         write_png(f"/tmp/fidelity_{scene}_exact.png", img_exact)
 
         r["fast"] = []
-        for ob in obigs:
-            fast_jit = jax.jit(lambda c, u, ob=ob: (
+        for ts, ob in variants:
+            fcfg = cfg.replace(tile_size=ts,
+                               batch_u=2 if ts == 32 else None)
+            fast_jit = jax.jit(lambda c, u, fcfg=fcfg, ob=ob: (
                 lambda o: (o.image, o.stats.num_overflow))(
-                    render_frame_fast(c, u, cfg, obig=ob)))
+                    render_frame_fast(c, u, fcfg, obig=ob)))
             t0 = time.perf_counter()
             img_f, ovf = fast_jit(cloud, uni)
             img_fast = hwc(np.asarray(img_f))   # planar -> (H, W, 4) view
             t_c = time.perf_counter() - t0
             p = float(np.asarray(psnr(jnp.asarray(img_fast),
                                       jnp.asarray(img_exact))))
-            entry = {"obig": ob, "psnr_db": round(p, 2),
+            entry = {"tile_size": ts, "obig": ob, "psnr_db": round(p, 2),
                      "num_overflow": int(np.asarray(ovf)),
                      "first_s": round(t_c, 1)}
             r["fast"].append(entry)
-            print(f"[{scene}] fast obig={ob}: PSNR {p:.2f} dB, "
+            print(f"[{scene}] fast ts={ts} obig={ob}: PSNR {p:.2f} dB, "
                   f"overflow {entry['num_overflow']}", flush=True)
-            write_png(f"/tmp/fidelity_{scene}_fast_obig{ob}.png", img_fast)
+            write_png(f"/tmp/fidelity_{scene}_fast_ts{ts}_obig{ob}.png",
+                      img_fast)
         results["scenes"][scene] = r
 
     out_path = os.path.join(os.path.dirname(__file__), "..",

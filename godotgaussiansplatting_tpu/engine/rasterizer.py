@@ -29,6 +29,35 @@ from .loader import StreamingLoader
 
 _A = np.diag([-1.0, -1.0, 1.0]).astype(np.float32)
 
+_cache_enabled = False
+
+
+def _enable_compile_cache() -> None:
+    """Point JAX's persistent compilation cache at a user cache dir (once,
+    unless the app already configured one). The frame program's cold XLA
+    compile is minutes at multi-million-splat shapes; a warm cache brings
+    every later session's start to seconds (the reference's analogue is
+    Godot's on-disk shader cache, which makes its init_gpu near-instant,
+    gaussian_splatting_rasterizer.gd:65-76). Opt out by setting
+    JAX_COMPILATION_CACHE_DIR="" in the environment."""
+    global _cache_enabled
+    if _cache_enabled:
+        return
+    _cache_enabled = True
+    import os
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR") is not None:
+        return  # explicit user setting (including "" = disabled) wins
+    if jax.config.jax_compilation_cache_dir:
+        return  # app already configured one
+    path = os.path.join(os.path.expanduser("~"), ".cache",
+                        "godotgaussiansplatting_tpu", "xla")
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass  # cache is an optimization only — never fail init over it
+
 
 class Rasterizer:
     """Owns one splat model + render state.
@@ -52,6 +81,7 @@ class Rasterizer:
         quality: str | None = None,
         auto_capacity: bool = True,
     ):
+        _enable_compile_cache()
         base = config or RasterizerConfig()
         if quality is not None:
             base = base.replace(quality=quality)
