@@ -55,6 +55,10 @@ def main():
     kernel = os.environ.get("GS_KERNEL", "v3")
     cfg = gs.RasterizerConfig(width=width, height=height, quality=quality,
                               kernel=kernel)
+    if quality == "fast":
+        # device-measured fast-path knobs (tile 32, batch_u 2 — see
+        # RasterizerConfig.fast_defaults and FIDELITY_r04.json)
+        cfg = cfg.fast_defaults()
     log(f"scene: {n_splats} splats, {width}x{height}, quality={quality}, "
         f"tiles={cfg.tile_dims}, backend={jax.default_backend()}")
 

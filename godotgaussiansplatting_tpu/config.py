@@ -36,6 +36,13 @@ class RasterizerConfig:
     render_scale: float = 1.0   # main.gd:51 slider 0.05-1.5; scales the render target
 
     # --- pipeline geometry ---
+    # The reference's 16-px tiles (gsplat_render.glsl:8) are the default;
+    # the FAST path measured best at tile_size=32 with batch_u=2 on v5e
+    # (79.8 vs 125.5 ms at the 5.8M/1080p headline, round 4: 4x fewer
+    # sequential kernel grid steps and smaller binning structures dominate
+    # the extra per-tile candidate dilution; fidelity measured equal or
+    # better). fast_defaults() applies that configuration; the exact path
+    # stays at 16 for reference parity.
     tile_size: int = TILE_SIZE
     sort_buffer_factor: int = SORT_BUFFER_FACTOR
     # Static cap of tiles a single splat may touch in the jit pair-emission path.
@@ -125,4 +132,17 @@ class RasterizerConfig:
         return tx * ty
 
     def replace(self, **kw) -> "RasterizerConfig":
+        return dataclasses.replace(self, **kw)
+
+    def fast_defaults(self) -> "RasterizerConfig":
+        """This config with quality='fast' and the device-measured fast-path
+        performance knobs (round 4, v5e, 5.8M/1080p headline): tile_size 32,
+        batch_u 2 — 79.8 ms/frame vs 125.5 at the reference's 16-px tiles,
+        with equal-or-better fidelity (FIDELITY_r04.json). Knobs already set
+        away from their dataclass defaults are respected."""
+        kw = {"quality": "fast"}
+        if self.tile_size == TILE_SIZE:
+            kw["tile_size"] = 32
+        if self.batch_u is None:
+            kw["batch_u"] = 2
         return dataclasses.replace(self, **kw)

@@ -85,6 +85,9 @@ class Rasterizer:
         base = config or RasterizerConfig()
         if quality is not None:
             base = base.replace(quality=quality)
+        if base.quality == "fast" and config is None:
+            # no explicit config: apply the device-measured fast knobs
+            base = base.fast_defaults()
         self.quality = base.quality
         self._cfg = base.replace(width=int(texture_size[0]),
                                  height=int(texture_size[1]))

@@ -34,22 +34,25 @@ class RenderOutput(NamedTuple):
     tile_counts: jnp.ndarray  # (T,) i32 — per-tile splat counts (heatmap/stats)
 
 
-def _blend_tile_batch(
-    ids, slot_valid, tile_px, tile_py,
-    image_pos, conic, color, counts, heatmap_factor,
+def _blend_chunk(
+    ids, slot_valid, px, py, q_in,
+    image_pos, conic, color,
 ):
-    """Composite a batch of tiles. ids: (B, C) splat ids; slot_valid: (B, C);
-    tile_px/tile_py: (B,) top-left pixel coords. Returns ((B,256,3), (B,))."""
-    ts = 16
-    ipos = image_pos[ids]                       # (B, C, 2)
-    con = conic[ids]                            # (B, C, 3)
-    col = color[ids]                            # (B, C, 4)
+    """Composite one CHUNK of slots for a batch of tiles.
 
-    lx = jnp.arange(ts, dtype=jnp.float32)
-    px = tile_px[:, None].astype(jnp.float32) + jnp.tile(lx, ts)[None, :]       # (B, 256)
-    py = tile_py[:, None].astype(jnp.float32) + jnp.repeat(lx, ts)[None, :]     # (B, 256)
+    ids: (B, CH) splat ids; slot_valid: (B, CH); px/py: (B, 256) pixel
+    coords; q_in: (B, 256) transmittance after the last PROCESSED slot of
+    the previous chunks. Returns (chunk contribution (B, 256, 3), q_out).
 
-    dx = ipos[:, :, 0:1] - px[:, None, :]       # (B, C, 256)
+    Exactness: q is monotone non-increasing, so the reference's per-pixel
+    `t > 1/255` check (gsplat_render.glsl:79) makes the processed set a
+    PREFIX — chunking with a carried q is the same sequential product in
+    the same order."""
+    ipos = image_pos[ids]                       # (B, CH, 2)
+    con = conic[ids]                            # (B, CH, 3)
+    col = color[ids]                            # (B, CH, 4)
+
+    dx = ipos[:, :, 0:1] - px[:, None, :]       # (B, CH, 256)
     dy = ipos[:, :, 1:2] - py[:, None, :]
     power = (-0.5 * (con[:, :, 0:1] * dx * dx + con[:, :, 2:3] * dy * dy)
              - con[:, :, 1:2] * dx * dy)        # gsplat_render.glsl:84
@@ -57,26 +60,20 @@ def _blend_tile_batch(
     alpha = jnp.where(slot_valid[:, :, None], alpha, 0.0)
 
     one_m = 1.0 - alpha
-    p_incl = jnp.cumprod(one_m, axis=1)         # transmittance after slot c
+    p_incl = q_in[:, None, :] * jnp.cumprod(one_m, axis=1)
     # Exclusive prefix (shift; exact even when some (1-α) == 0):
-    p_excl = jnp.concatenate([jnp.ones_like(p_incl[:, :1]), p_incl[:, :-1]], axis=1)
+    p_excl = jnp.concatenate([jnp.broadcast_to(q_in[:, None, :],
+                                               p_incl[:, :1].shape),
+                              p_incl[:, :-1]], axis=1)
 
     processed = p_excl > (1.0 / MIN_FACTOR)     # the `t > MIN_ALPHA` check (:79)
     w = alpha * p_excl * processed
     blended = jnp.einsum("bcp,bck->bpk", w, col[:, :, :3])  # (B, 256, 3)
 
-    # Final per-pixel transmittance (for heatmap and picking): P_incl at the
-    # last processed slot; 1 where nothing processed.
-    t_final = jnp.min(jnp.where(processed, p_incl, 1.0), axis=1)  # (B, 256)
-
-    # Heatmap overlay (gsplat_render.glsl:100-101): unclamped lerp blue→red by
-    # count·5e-4, scaled by opacity-coverage and the heatmap factor.
-    mixf = counts.astype(jnp.float32)[:, None] * 5e-4
-    blue = jnp.array([0.0, 0.0, 1.0], jnp.float32)
-    red = jnp.array([1.0, 0.2, 0.2], jnp.float32)
-    hm = (blue[None, None] + (red - blue)[None, None] * mixf[:, :, None])
-    blended = blended + hm * ((1.0 - t_final) * heatmap_factor)[:, :, None]
-    return blended, t_final
+    # q after this chunk = transmittance at the last processed slot
+    # (processed is a prefix, so the product over processed slots only).
+    q_out = q_in * jnp.prod(jnp.where(processed, one_m, 1.0), axis=1)
+    return blended, q_out
 
 
 def render_tiles(
@@ -119,13 +116,53 @@ def render_tiles(
     tpy_p = jnp.pad(tpy, (0, pad))
     cnt_p = jnp.pad(counts, (0, pad))
 
+    # Slot-CHUNKED per-tile composite with a carried transmittance and a
+    # saturation early-exit: the monolithic (TB, C, 256) formulation
+    # materialized ~8 arrays of C=4-8K slots per batch (HBM-bound) and
+    # always paid the full tile_capacity even though the reference's
+    # per-pixel `t > 1/255` check saturates most tiles within a few
+    # hundred slots (gsplat_render.glsl:79's early-out, which its
+    # cooperative block exit turns into skipped loads, :45-48).
+    CH = min(512, C)
+    n_ch = -(-C // CH)
+    lx = jnp.arange(ts, dtype=jnp.float32)
+
     def body(args):
         s, e, x, y, n = args
-        slots = s[:, None] + jnp.arange(C, dtype=jnp.int32)[None, :]
-        valid = slots < e[:, None]
-        ids = sorted_values[jnp.clip(slots, 0, K - 1)]
-        return _blend_tile_batch(ids, valid, x, y,
-                                 image_pos, conic, color, n, heatmap_factor)
+        px = x[:, None].astype(jnp.float32) + jnp.tile(lx, ts)[None, :]
+        py = y[:, None].astype(jnp.float32) + jnp.repeat(lx, ts)[None, :]
+        q0 = jnp.ones((TB, ts * ts), jnp.float32)
+        acc0 = jnp.zeros((TB, ts * ts, 3), jnp.float32)
+
+        def chunk_live(k, q):
+            has_slots = jnp.any(s + k * CH < e)
+            unsat = jnp.any(q > (1.0 / MIN_FACTOR))
+            return (k < n_ch) & has_slots & unsat
+
+        def chunk_body(carry):
+            k, acc, q = carry
+            slots = (s[:, None] + k * CH
+                     + jnp.arange(CH, dtype=jnp.int32)[None, :])
+            valid = slots < e[:, None]
+            ids = sorted_values[jnp.clip(slots, 0, K - 1)]
+            contrib, q2 = _blend_chunk(ids, valid, px, py, q,
+                                       image_pos, conic, color)
+            return k + 1, acc + contrib, q2
+
+        _, blended, q = jax.lax.while_loop(
+            lambda c: chunk_live(c[0], c[2]), chunk_body,
+            (jnp.int32(0), acc0, q0))
+        t_final = q
+
+        # Heatmap overlay (gsplat_render.glsl:100-101): unclamped lerp
+        # blue→red by count·5e-4, scaled by opacity-coverage + the factor.
+        mixf = n.astype(jnp.float32)[:, None] * 5e-4
+        blue = jnp.array([0.0, 0.0, 1.0], jnp.float32)
+        red = jnp.array([1.0, 0.2, 0.2], jnp.float32)
+        hm = (blue[None, None] + (red - blue)[None, None] * mixf[:, :, None])
+        blended = blended + hm * ((1.0 - t_final)
+                                  * heatmap_factor)[:, :, None]
+        return blended, t_final
 
     nb = T_pad // TB
     blended, t_final = jax.lax.map(

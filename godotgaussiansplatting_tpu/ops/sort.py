@@ -75,37 +75,30 @@ def emit_and_sort(
     base_tile = rect[:, 1] * gx + rect[:, 0]             # top-left tile id
     splat_ids = jnp.arange(P, dtype=jnp.int32)
 
-    # Derive the initial buffers from an input so they inherit its sharding
-    # varying-axes under shard_map (a constant carry would mismatch the
-    # device-varying loop output in the multi-chip path).
-    keys0 = jnp.broadcast_to((depth16[0] * 0) + jnp.uint32(INVALID_KEY),
-                             (k_max,))
-    vals0 = jnp.broadcast_to(jnp.int32(0) * num_tiles[0], (k_max,))
-
-    # One masked scatter per slot t: slot t of splat i addresses the t-th
-    # tile of its rect in row-major order (gsplat_projection.glsl:219-226).
-    # fori_loop keeps compile time flat in max_t.
-    def emit(t, kv):
-        keys, vals = kv
-        live = proj_valid & (t < nt_capped)
-        ty = t // rect_w
-        tx = t - ty * rect_w
-        tile_id = (base_tile + ty * gx + tx).astype(jnp.uint32)
-        key_t = (tile_id << 16) | depth16
-        dest = jnp.where(live, offsets + t, k_max)       # k_max → dropped
-        keys = keys.at[dest].set(key_t, mode="drop", unique_indices=True)
-        vals = vals.at[dest].set(splat_ids, mode="drop", unique_indices=True)
-        return keys, vals
-
-    keys, vals = jax.lax.fori_loop(0, max_t, emit, (keys0, vals0))
+    # Emit VECTORIZED as a (P, max_t) matrix: slot t of splat i addresses
+    # the t-th tile of its rect in row-major order
+    # (gsplat_projection.glsl:219-226); dead slots carry INVALID_KEY and
+    # stable-sort to the tail. An earlier masked-scatter formulation (one
+    # full-buffer scatter pair per slot) ran 2 * max_t TPU scatters over
+    # the 58M-slot buffer — device-profiled as the bulk of the exact frame
+    # at the 5.8M headline. Equal-(tile,depth16) tie order is UNCHANGED:
+    # both layouts are (splat-major, slot-minor) under the stable sort.
+    tt = jax.lax.broadcasted_iota(jnp.int32, (P, max_t), 1)
+    live = proj_valid[:, None] & (tt < nt_capped[:, None])
+    ty = tt // rect_w[:, None]
+    tx = tt - ty * rect_w[:, None]
+    tile_m = (base_tile[:, None] + ty * gx + tx).astype(jnp.uint32)
+    keys = jnp.where(live, (tile_m << 16) | depth16[:, None],
+                     jnp.uint32(INVALID_KEY)).reshape(-1)
+    vals = jnp.where(live, splat_ids[:, None], 0).reshape(-1)
 
     if gcap:
         # --- dense giant emission ------------------------------------------
         # Compact the taken giants into `gcap` slots, then emit every tile
-        # of each giant's rect with one vectorized (gcap, T) key build +
-        # scatter, appended after the capped-loop pairs. (Pre-sort buffer
-        # position only affects equal-(tile,depth16) tie order, which is
-        # inside the reference's own race-nondeterminism envelope.)
+        # of each giant's rect with one vectorized (gcap, T) key build,
+        # appended after the capped pairs. (Pre-sort buffer position only
+        # affects equal-(tile,depth16) tie order, which is inside the
+        # reference's own race-nondeterminism envelope.)
         T = cfg.num_tiles
         gdest = jnp.where(g_taken, grank, gcap)
         gidx = jnp.zeros((gcap,), jnp.int32).at[gdest].set(
@@ -117,23 +110,31 @@ def emit_and_sort(
         w_g = jnp.maximum(rect_g[:, 2] - rect_g[:, 0], 1)
         base_g = rect_g[:, 1] * gx + rect_g[:, 0]
         d_g = depth16[gidx]
-        goff = total + (jnp.cumsum(nt_g) - nt_g)
-        tt = jax.lax.broadcasted_iota(jnp.int32, (gcap, T), 1)
-        ty = tt // w_g[:, None]
-        tx = tt - ty * w_g[:, None]
+        ttg = jax.lax.broadcasted_iota(jnp.int32, (gcap, T), 1)
+        ty = ttg // w_g[:, None]
+        tx = ttg - ty * w_g[:, None]
         tile_g = (base_g[:, None] + ty * gx + tx).astype(jnp.uint32)
-        key_g = (tile_g << 16) | d_g[:, None]
-        live_g = tt < nt_g[:, None]
-        dest_g = jnp.where(live_g, goff[:, None] + tt, k_max)
-        keys = keys.at[dest_g.reshape(-1)].set(
-            key_g.reshape(-1), mode="drop", unique_indices=True)
-        vals = vals.at[dest_g.reshape(-1)].set(
-            jnp.broadcast_to(gidx[:, None], (gcap, T)).reshape(-1),
-            mode="drop", unique_indices=True)
+        live_g = ttg < nt_g[:, None]
+        key_g = jnp.where(live_g, (tile_g << 16) | d_g[:, None],
+                          jnp.uint32(INVALID_KEY)).reshape(-1)
+        val_g = jnp.where(live_g, gidx[:, None], 0).reshape(-1)
+        keys = jnp.concatenate([keys, key_g])
+        vals = jnp.concatenate([vals, val_g])
         total = total + jnp.sum(nt_g)
     overflow = jnp.sum(num_tiles) - total
 
     skeys, svals = jax.lax.sort_key_val(keys, vals, is_stable=True)
+    # Keep the caller-visible buffer at the reference's k_max (10N default,
+    # gaussian_splatting_rasterizer.gd:79): valid pairs sort to the front,
+    # so when total <= k_max this slice is exactly the old buffer; beyond
+    # it pairs drop (the reference's overflow is out-of-bounds UB there).
+    if skeys.shape[0] > k_max:
+        skeys, svals = skeys[:k_max], svals[:k_max]
+    elif skeys.shape[0] < k_max:
+        skeys = jnp.concatenate([skeys, jnp.full(
+            (k_max - skeys.shape[0],), INVALID_KEY, jnp.uint32)])
+        svals = jnp.concatenate([svals, jnp.zeros(
+            (k_max - svals.shape[0],), svals.dtype)])
     return SortedPairs(keys=skeys, values=svals,
                        num_pairs=total.astype(jnp.int32),
                        num_overflow=overflow.astype(jnp.int32))
