@@ -65,14 +65,14 @@ def main():
         # loop, so XLA DCEs them — only the image-sum survives.
         uni = jax.tree.map(lambda x: x[i % n_frames], unis)
         out = render_frame_fast(cloud, uni, cfg)
-        return out.image[:3, ::64, ::64].sum()
+        return out.image.sum()
 
     def frame_stats(cloud, unis, i):
         # force the stats reductions to stay live (1e-20 scale is not
         # foldable and cannot perturb the image sum)
         uni = jax.tree.map(lambda x: x[i % n_frames], unis)
         out = render_frame_fast(cloud, uni, cfg)
-        return (out.image[:3, ::64, ::64].sum()
+        return (out.image.sum()
                 + out.stats.num_pairs.astype(jnp.float32) * 1e-20
                 + out.stats.max_tile_count.astype(jnp.float32) * 1e-20)
 
@@ -80,7 +80,7 @@ def main():
         uni = jax.tree.map(lambda x: x[0], unis)
         uni = uni._replace(time=uni.time + i.astype(jnp.float32) * 1e-6)
         out = render_frame_fast(cloud, uni, cfg)
-        return out.image[:3, ::64, ::64].sum()
+        return out.image.sum()
 
     def frame_noimg(cloud, unis, i):
         uni = jax.tree.map(lambda x: x[i % n_frames], unis)

@@ -115,7 +115,7 @@ def main():
                     + bigla.ravel()[::65536].sum().astype(jnp.float32)
                     + slab.ravel()[::65536].sum())
         out = render_frame_fast(cloud, uni, cfg)
-        return out.image[:3, ::64, ::64].sum()
+        return out.image.sum()
 
     def mk(stop):
         def body(cloud, unis, i):

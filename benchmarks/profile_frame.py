@@ -28,7 +28,8 @@ def main():
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 5_800_000
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/gsprof"
-    cfg = gs.RasterizerConfig(width=1920, height=1080, quality="fast")
+    cfg = gs.RasterizerConfig(width=1920, height=1080,
+                              quality="fast").fast_defaults()
     cloud = get_cloud(n)
     cloud = dataclasses.replace(cloud, sh=cloud.sh.astype(jnp.bfloat16))
 
@@ -42,7 +43,7 @@ def main():
         def body(i, acc):
             uni = jax.tree.map(lambda x: x[i % n_frames], unis)
             out = render_frame_fast(cloud, uni, cfg)
-            return acc + out.image[:3, ::64, ::64].sum()
+            return acc + out.image.sum()
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
 
     print("warmup/compile...", flush=True)

@@ -108,6 +108,17 @@ class RasterizerConfig:
     # scratch scales with it; 4 ~= 11 MB). GS_GT env var overrides for
     # benchmark sweeps only.
     lockstep_gt: int = 4
+    # Fast path: per-kernel Mosaic VMEM budget in MiB (None = the compiler's
+    # default scoped limit, 16 MiB). tile_size/batch_u combinations whose
+    # scratch exceeds the default (e.g. tile 32 x batch_u 4, tile 64) need
+    # this raised; the physical per-core budget caps how far it can go.
+    kernel_vmem_mb: Optional[int] = None
+    # Fast path: run the whole per-splat projection + stage-1 operand packing
+    # as ONE fused Pallas pass (ops/projection_pallas.py) instead of XLA's
+    # ~15 separate loop fusions. Semantically equivalent (same formulas and
+    # packing helpers; fp reassociation only). Static knob: changing it
+    # re-traces.
+    projection_kernel: bool = False
 
     @property
     def target_size(self) -> Tuple[int, int]:

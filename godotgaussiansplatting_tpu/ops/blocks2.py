@@ -104,7 +104,10 @@ def _pack_rgb9e5(r, g, b):
     s = jnp.exp2((9 - e).astype(jnp.float32))
 
     def q(c):
-        return jnp.clip(jnp.round(c * s), 0.0, 511.0).astype(jnp.uint32)
+        # via i32: value-identical on [0, 511], and Mosaic (which traces this
+        # helper inside the projection kernel) has no f32->u32 lowering
+        return jnp.clip(jnp.round(c * s), 0.0, 511.0).astype(
+            jnp.int32).astype(jnp.uint32)
 
     return (q(r) | (q(g) << 9) | (q(b) << 18)
             | ((e + 15).astype(jnp.uint32) << 27))
@@ -223,6 +226,46 @@ def default_big_cap(P: int) -> int:
                       min(P // 64, 40960) // BLOCK_SIZE * BLOCK_SIZE))
 
 
+def _big_chunk_width(P: int, sb_size: int) -> int:
+    """Big-candidate chunk width: 1024 (25%-window headroom at 4x finer
+    granularity than a superblock — see build_block_frame2's sizing note),
+    falling back to smaller power-of-two divisors of P."""
+    for c in (1024, 512, 256, 128):
+        if P % c == 0:
+            return min(c, sb_size)
+    return sb_size
+
+
+def _select_big_lanes(bkey: jnp.ndarray, big_cap: int):
+    """Chunked big-candidate keys -> globally closest big_cap lanes.
+
+    bkey: (R, CW) u32, ((depth16 << 10) | col-in-chunk) for candidates,
+    0xFFFFFFFF otherwise. Returns (tk_idx (big_cap,) i32 flat source
+    positions, tk_ok (big_cap,) bool). Candidates beyond a chunk's
+    CW/4-wide window or the global cap are simply not taken (their splats
+    stay in their chains; the caller counts them in BigSet.residual)."""
+    R, CW = bkey.shape
+    inf = jnp.uint32(0xFFFFFFFF)
+    KC = min(CW, max(CW // 4, 4 * big_cap // max(R, 1)))
+    (bk_s,) = jax.lax.sort((bkey,), dimension=1, num_keys=1)
+    win = bk_s[:, :KC]
+    row0 = (jnp.arange(R, dtype=jnp.uint32) * jnp.uint32(CW))[:, None]
+    pos_w = jnp.where(win != inf, row0 + (win & 0x3FF), jnp.uint32(0))
+    gks, gidx = jax.lax.sort(
+        ((win >> 10).reshape(-1), pos_w.reshape(-1)),
+        dimension=0, num_keys=1, is_stable=True)
+    gks = jnp.where(gks == (inf >> 10), inf, gks)
+    cap = min(big_cap, R * KC)
+    tk_idx = gidx[:cap].astype(jnp.int32)
+    tk_ok = gks[:cap] != inf
+    if cap < big_cap:   # pad to the static big_cap
+        tk_idx = jnp.concatenate(
+            [tk_idx, jnp.zeros((big_cap - cap,), jnp.int32)])
+        tk_ok = jnp.concatenate(
+            [tk_ok, jnp.zeros((big_cap - cap,), bool)])
+    return tk_idx, tk_ok
+
+
 def _build_big_set(ops, ok, depth16, residual, gx, gy, ts):
     """Stage-1-sorted operand rows for the taken lanes -> BigSet."""
     ix, iy, ca, cb, cc, r, g, b, op, idx = ops
@@ -318,12 +361,21 @@ def build_block_frame2(prj: ProjectedSplats, cfg: RasterizerConfig,
     idx = (jnp.arange(P, dtype=jnp.uint32).reshape(SB, sb_size))
 
     # --- big-lane extraction BEFORE clustering (per-tile lists, bigbin) -----
-    # Compact big candidates per superblock with a cheap 2-operand row sort
-    # (the fast TPU primitive; a full (P, 2) GLOBAL sort measured ~11 ms at
-    # the 5.8M headline, and windowed take_along_axis gathers ~10 ms), then
-    # one small global sort picks the closest big_cap lanes. Extracted lanes
-    # are keyed invalid for stage 1, so chains never see them; bigs beyond a
-    # window or big_cap stay in their chains (counted in residual).
+    # Compact big candidates per 1024-splat Morton CHUNK with a cheap
+    # 1-operand row sort, then one small global sort picks the closest
+    # big_cap lanes. Row-sort cost scales with log2(row width): chunked
+    # rows (1024 -> 10 merge passes) measured 1.33 ms at the 5.8M headline
+    # vs 3.52 ms for full 16384-superblock rows (14 passes). A full (P, 2)
+    # GLOBAL sort measured ~11 ms, and windowed take_along_axis gathers
+    # ~10 ms — both rejected. CHUNK/WINDOW SIZING IS FIDELITY-CRITICAL:
+    # bigs cluster spatially, and candidates beyond a chunk's window stay
+    # in their chains, poisoning block rects — 256-splat chunks with a
+    # 12.5% window measured +11 ms on the RENDER stage at the headline
+    # (the sorts saved only 4). 1024-splat chunks keep the old design's
+    # 25% local headroom at 4x finer granularity. Extracted lanes are
+    # keyed invalid for stage 1, so chains never see them; bigs beyond a
+    # chunk window or big_cap stay in their chains (counted in residual —
+    # graceful order degradation, never dropped).
     if big_cap is None:
         big_cap = default_big_cap(P)
     big_cap = max(big_cap, S)
@@ -334,33 +386,17 @@ def build_block_frame2(prj: ProjectedSplats, cfg: RasterizerConfig,
                                       conic[..., 2], color[..., 3])
     ext_sb = jnp.maximum(rx_sb, ry_sb)
     is_big = (ext_sb >= BIG_RADIUS) & valid_sb
-    # candidate window per superblock: wide enough that big_cap lanes fit
-    # even when Morton order concentrates bigs in few superblocks (small
-    # scenes degenerate to full rows, which is cheap there anyway)
-    KB = min(sb_size, max(4096, 4 * big_cap // max(SB, 1)))
-    # ONE-operand candidate sort: fold the column into the low 14 bits of
-    # the depth key (sb_size = 16384 columns; depth16 <= 0xFFFE keeps every
+    CW = _big_chunk_width(P, sb_size)
+    R = P // CW                       # chunk rows
+    # ONE-operand candidate sort: fold the column into the low bits of
+    # the depth key (CW <= 1024 columns; depth16 <= 0xFFFE keeps every
     # valid key below the inf sentinel). Recovering (depth, column) from
     # the key halves the row-sort's operand traffic.
     colv = jnp.broadcast_to(
-        jnp.arange(sb_size, dtype=jnp.uint32)[None], (SB, sb_size))
-    bkey = jnp.where(is_big, (depth_sb << 14) | (colv & 0x3FFF), inf)
-    (bk_s,) = jax.lax.sort((bkey,), dimension=1, num_keys=1)
-    win = bk_s[:, :KB]
-    row0 = (jnp.arange(SB, dtype=jnp.uint32) * jnp.uint32(sb_size))[:, None]
-    pos_w = jnp.where(win != inf, row0 + (win & 0x3FFF), jnp.uint32(0))
-    gks, gidx = jax.lax.sort(
-        ((win >> 14).reshape(-1), pos_w.reshape(-1)),
-        dimension=0, num_keys=1, is_stable=True)
-    gks = jnp.where(gks == (inf >> 14), inf, gks)
-    cap = min(big_cap, SB * KB)
-    tk_idx = gidx[:cap].astype(jnp.int32)
-    tk_ok = gks[:cap] != inf
-    if cap < big_cap:   # pad to the static big_cap
-        tk_idx = jnp.concatenate(
-            [tk_idx, jnp.zeros((big_cap - cap,), jnp.int32)])
-        tk_ok = jnp.concatenate(
-            [tk_ok, jnp.zeros((big_cap - cap,), bool)])
+        jnp.arange(CW, dtype=jnp.uint32)[None], (R, CW))
+    bkey = jnp.where(is_big.reshape(R, CW),
+                     (depth_sb.reshape(R, CW) << 10) | colv, inf)
+    tk_idx, tk_ok = _select_big_lanes(bkey, big_cap)
     taken = jnp.zeros((P,), bool).at[tk_idx].set(tk_ok).reshape(SB, sb_size)
 
     def gath(a):
@@ -407,6 +443,22 @@ def build_block_frame2(prj: ProjectedSplats, cfg: RasterizerConfig,
     else:
         s1 = jax.lax.sort((key,) + payload_words + (idx,),
                           dimension=1, num_keys=1, is_stable=True)
+
+    frame = _frame_from_stage1(
+        s1, B, S, cfg, jnp.sum(prj.num_tiles).astype(jnp.int32))
+    return frame, bigs
+
+
+def _frame_from_stage1(s1, B: int, S: int, cfg: RasterizerConfig,
+                       num_culled_pairs) -> BlockFrame2:
+    """Stage-1-sorted operand rows -> BlockFrame2 (blocks cut from the
+    sorted order, MXU power features, rects, bitmaps, depth ranges).
+
+    s1: 7-tuple of sorted u32 arrays (key, ix bits, iy bits, f16(ca|cb),
+    f16(cc|op), rgb9e5, source idx), any row shape reshapeable to (B, S)."""
+    gx, gy = cfg.tile_dims
+    ts = float(cfg.tile_size)
+    inf = jnp.uint32(0xFFFFFFFF)
 
     def blk(x):  # (SB, sb_size) -> (B, S)
         return x.reshape(B, S)
@@ -529,5 +581,63 @@ def build_block_frame2(prj: ProjectedSplats, cfg: RasterizerConfig,
         min_depth=min_depth,
         max_depth=max_depth,
         num_valid=nv,
-        num_culled_pairs=jnp.sum(prj.num_tiles).astype(jnp.int32),
-    ), bigs
+        num_culled_pairs=num_culled_pairs,
+    )
+
+
+def build_block_frame2_words(words: jnp.ndarray, cfg: RasterizerConfig,
+                             num_splats: int | None = None,
+                             big_cap: int | None = None):
+    """Fused-projection word image (ops/projection_pallas.py, (16, P) f32)
+    -> (BlockFrame2, BigSet). Same semantics as build_block_frame2: the
+    kernel already performed the Phase-A per-splat packing (f16 conic
+    pairs, rgb9e5 color, big-candidate keys, screen-cell Morton), so this
+    runs only the sorts, the big selection and the post-sort block build."""
+    P = words.shape[1]
+    S = BLOCK_SIZE
+    sb_size = min(SUPERBLOCK, P)
+    assert P % sb_size == 0
+    B = P // S
+    SB = P // sb_size
+    gx, gy = cfg.tile_dims
+    ts = float(cfg.tile_size)
+    inf = jnp.uint32(0xFFFFFFFF)
+
+    def u32w(k):
+        return jax.lax.bitcast_convert_type(words[k], jnp.uint32)
+
+    flags = u32w(14)
+    valid = (flags & 1) != 0
+    num_big = jnp.sum((flags >> 1) & 1).astype(jnp.int32)
+    depth16 = u32w(12)
+
+    if big_cap is None:
+        big_cap = default_big_cap(P)
+    big_cap = max(big_cap, S)
+    CW = _big_chunk_width(P, sb_size)
+    tk_idx, tk_ok = _select_big_lanes(u32w(13).reshape(P // CW, CW), big_cap)
+    taken = jnp.zeros((P,), bool).at[tk_idx].set(tk_ok)
+
+    def gath(k):
+        return words[k][tk_idx]
+
+    idx = jnp.arange(P, dtype=jnp.uint32)
+    dep_tk = jnp.where(tk_ok, depth16[tk_idx], inf)
+    bigs = _build_big_set(
+        (gath(0), gath(1), gath(2), gath(3), gath(4),
+         gath(5), gath(6), gath(7), gath(8), idx[tk_idx]),
+        tk_ok, dep_tk,
+        residual=num_big - jnp.sum(tk_ok).astype(jnp.int32),
+        gx=gx, gy=gy, ts=ts)
+
+    morton15 = (flags >> 2) & 0x7FFF
+    key = jnp.where(valid & ~taken, (morton15 << 16) | depth16, inf)
+    s1 = jax.lax.sort(
+        (key.reshape(SB, sb_size),
+         u32w(0).reshape(SB, sb_size), u32w(1).reshape(SB, sb_size),
+         u32w(9).reshape(SB, sb_size), u32w(10).reshape(SB, sb_size),
+         u32w(11).reshape(SB, sb_size), idx.reshape(SB, sb_size)),
+        dimension=1, num_keys=1, is_stable=True)
+    nt_total = jnp.sum(
+        jax.lax.bitcast_convert_type(words[15], jnp.int32)).astype(jnp.int32)
+    return _frame_from_stage1(s1, B, S, cfg, nt_total), bigs

@@ -20,10 +20,12 @@ import jax.numpy as jnp
 from ..config import RasterizerConfig
 from ..models.splats import SplatCloud
 from .bigbin import TileBigs, bin_bigs
-from .blocks2 import BLOCK_SIZE, DEPTH_INVALID, BlockFrame2, build_block_frame2
+from .blocks2 import (BLOCK_SIZE, DEPTH_INVALID, BlockFrame2,
+                      build_block_frame2, build_block_frame2_words)
 from .binning2 import TileBins2, bin_blocks2
 from .pipeline import FrameStats, FrameUniforms
 from .projection import project_splats
+from .projection_pallas import project_words
 from .render_pallas3 import assemble_image_v3, render_tiles_v3
 
 
@@ -64,18 +66,29 @@ def render_frame_fast(
     interpret: bool = False,
     batch_u: int | None = None,
 ) -> FastFrameOutput:
-    prj = project_splats(
-        cloud.means, cloud.cov3d, cloud.opacity, cloud.sh, cloud.upload_time,
-        uniforms.view, uniforms.proj, uniforms.camera_pos,
-        uniforms.model_scale, uniforms.time, cfg,
-    )
-    # Stage barriers: without them XLA tries to fuse the whole frame into one
-    # scheduling problem and compile time explodes at multi-million-splat
-    # shapes (>15 min vs ~3 min split; no measurable runtime cost).
-    prj = _slim_projection(prj)
-    prj = type(prj)(*jax.lax.optimization_barrier(tuple(prj)))
-    bf, bigs = build_block_frame2(prj, cfg, num_splats=cloud.num_splats,
-                                  big_cap=cfg.big_capacity)
+    if cfg.projection_kernel:
+        words = project_words(
+            cloud.means, cloud.cov3d, cloud.opacity, cloud.sh,
+            cloud.upload_time, uniforms.view, uniforms.proj,
+            uniforms.camera_pos, uniforms.model_scale, uniforms.time, cfg,
+            num_splats=cloud.num_splats, interpret=interpret)
+        words = jax.lax.optimization_barrier(words)
+        bf, bigs = build_block_frame2_words(words, cfg,
+                                            big_cap=cfg.big_capacity)
+    else:
+        prj = project_splats(
+            cloud.means, cloud.cov3d, cloud.opacity, cloud.sh,
+            cloud.upload_time, uniforms.view, uniforms.proj,
+            uniforms.camera_pos, uniforms.model_scale, uniforms.time, cfg,
+        )
+        # Stage barriers: without them XLA tries to fuse the whole frame
+        # into one scheduling problem and compile time explodes at
+        # multi-million-splat shapes (>15 min vs ~3 min split; no
+        # measurable runtime cost).
+        prj = _slim_projection(prj)
+        prj = type(prj)(*jax.lax.optimization_barrier(tuple(prj)))
+        bf, bigs = build_block_frame2(prj, cfg, num_splats=cloud.num_splats,
+                                      big_cap=cfg.big_capacity)
     bf = type(bf)(*jax.lax.optimization_barrier(tuple(bf)))
     bigs = type(bigs)(*jax.lax.optimization_barrier(tuple(bigs)))
     bins: TileBins2 = bin_blocks2(bf, cfg, supertile_cap=supertile_cap,
@@ -127,8 +140,14 @@ def render_frame_fast_jit(cloud, uniforms, cfg, supertile_cap=1024,
 # the frame still runs device-side without host round-trips between stages.
 # They also give the engine per-stage timing hooks (utils/telemetry.py).
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _stage_project(cloud, uniforms, cfg):
+@functools.partial(jax.jit, static_argnames=("cfg", "num_splats"))
+def _stage_project(cloud, uniforms, cfg, num_splats=None):
+    if cfg.projection_kernel:
+        return project_words(
+            cloud.means, cloud.cov3d, cloud.opacity, cloud.sh,
+            cloud.upload_time, uniforms.view, uniforms.proj,
+            uniforms.camera_pos, uniforms.model_scale, uniforms.time, cfg,
+            num_splats=num_splats)
     return _slim_projection(project_splats(
         cloud.means, cloud.cov3d, cloud.opacity, cloud.sh, cloud.upload_time,
         uniforms.view, uniforms.proj, uniforms.camera_pos,
@@ -137,6 +156,8 @@ def _stage_project(cloud, uniforms, cfg):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "num_splats"))
 def _stage_blocks(prj, cfg, num_splats=None):
+    if cfg.projection_kernel:
+        return build_block_frame2_words(prj, cfg, big_cap=cfg.big_capacity)
     return build_block_frame2(prj, cfg, num_splats=num_splats,
                               big_cap=cfg.big_capacity)
 
@@ -176,7 +197,7 @@ def render_frame_fast_staged(cloud, uniforms, cfg, supertile_cap=1024,
     """Staged frame; with stage_timer (utils/telemetry.stage_timer-style
     context factory) each stage is individually timed."""
     if stage_timer is None:
-        prj = _stage_project(cloud, uniforms, cfg)
+        prj = _stage_project(cloud, uniforms, cfg, cloud.num_splats)
         bf, bigs = _stage_blocks(prj, cfg, cloud.num_splats)
         bins, tile_bigs = _stage_bin(bf, bigs, cfg, supertile_cap, tile_cap,
                                      obig)
@@ -184,8 +205,8 @@ def render_frame_fast_staged(cloud, uniforms, cfg, supertile_cap=1024,
             bf, bins, tile_bigs, uniforms.heatmap_factor, cfg, early_exit,
             lowp)
     else:
-        with stage_timer("Projection", lambda: prj.depth16):
-            prj = _stage_project(cloud, uniforms, cfg)
+        with stage_timer("Projection", lambda: jax.tree.leaves(prj)[0]):
+            prj = _stage_project(cloud, uniforms, cfg, cloud.num_splats)
         with stage_timer("Blocks", lambda: bf.min_depth):
             bf, bigs = _stage_blocks(prj, cfg, cloud.num_splats)
         with stage_timer("Binning", lambda: bins.tile_nblocks):

@@ -883,9 +883,20 @@ def render_tiles_v3(
                                  memory_space=pltpu.VMEM)
     kern = functools.partial(kern, slab_u=slab_u)
 
+    # Mosaic compiler params: the grid dimension must stay "arbitrary"
+    # (sequential) — the DMA rings deliberately overlap fetches across grid
+    # steps and wait on cross-step semaphores. kernel_vmem_mb raises the
+    # scoped VMEM budget for scratch-heavy shape combinations.
+    cparams = None
+    if cfg.kernel_vmem_mb is not None:
+        cparams = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=cfg.kernel_vmem_mb << 20)
+
     return pl.pallas_call(
         kern,
         grid=(TG,),
+        compiler_params=cparams,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),

@@ -1,0 +1,151 @@
+"""Fused Pallas projection (ops/projection_pallas.py) vs the jnp projection.
+
+Bit parity is NOT the contract — the kernel reassociates fp math (fma
+chains vs matmuls) — so the gates are: identical culling/stat decisions,
+tight numeric tolerance on the per-splat quantities, and end-to-end image
+equivalence of the two fast-path variants at >= 50 dB PSNR (far above the
+pipeline's own 40 dB fidelity gates)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from godotgaussiansplatting_tpu import (Camera, RasterizerConfig,
+                                        synthetic_scene)
+from godotgaussiansplatting_tpu.models.splats import mortonize
+from godotgaussiansplatting_tpu.ops.blocks2 import (build_block_frame2,
+                                                    build_block_frame2_words)
+from godotgaussiansplatting_tpu.ops.fast_pipeline import render_frame_fast
+from godotgaussiansplatting_tpu.ops.pipeline import make_uniforms
+from godotgaussiansplatting_tpu.ops.projection import project_splats
+from godotgaussiansplatting_tpu.ops.projection_pallas import project_words
+
+
+def test_f16_bits_matches_ieee():
+    """The kernel's integer-only f32->f16 conversion must equal numpy's
+    IEEE round-to-nearest-even bit-for-bit (normals, subnormals, overflow)."""
+    from godotgaussiansplatting_tpu.ops.projection_pallas import _f16_bits
+    rng = np.random.default_rng(0)
+    vals = np.concatenate([
+        rng.normal(0, 1, 4096),                      # normals
+        rng.normal(0, 1e-6, 4096),                   # f16 subnormal range
+        rng.normal(0, 1e5, 4096),                    # overflow region
+        rng.uniform(65400, 65700, 1024),             # overflow boundary
+        np.array([0.0, -0.0, 65504.0, 65519.996, 65520.0, 6.1e-5,
+                  5.96e-8, 2.98e-8, 2.99e-8, -3.3, 1.0, 0.1]),
+    ]).astype(np.float32)
+    got = np.asarray(_f16_bits(vals)).astype(np.uint32)
+    want = vals.astype(np.float16).view(np.uint16).astype(np.uint32)
+    bad = got != want
+    assert not bad.any(), (vals[bad][:8], got[bad][:8], want[bad][:8])
+
+
+def _scene(n=32768, seed=3):
+    cloud = synthetic_scene(n, seed=seed, extent=3.0,
+                            scale_range=(0.005, 0.2))
+    return mortonize(cloud)
+
+
+def _psnr(a, b):
+    mse = float(((a - b) ** 2).mean())
+    return 10 * np.log10(1.0 / max(mse, 1e-12))
+
+
+def test_words_match_jnp_projection():
+    cloud = _scene()
+    cfg = RasterizerConfig(width=512, height=384,
+                           quality="fast").fast_defaults()
+    uni = make_uniforms(Camera.reset_pose(), cfg)
+    args = (cloud.means, cloud.cov3d, cloud.opacity, cloud.sh,
+            cloud.upload_time, uni.view, uni.proj, uni.camera_pos,
+            uni.model_scale, uni.time, cfg)
+    prj = project_splats(*args)
+    w = np.asarray(project_words(*args, num_splats=cloud.num_splats))
+
+    flags = w[14].view(np.uint32)
+    valid_k = (flags & 1) != 0
+    valid_j = np.asarray(prj.valid)
+    assert (valid_k == valid_j).mean() == 1.0
+    m = valid_k
+    ipos = np.asarray(prj.image_pos)
+    assert np.abs(w[0][m] - ipos[m, 0]).max() < 1e-2          # px
+    assert np.abs(w[1][m] - ipos[m, 1]).max() < 1e-2
+    conic = np.asarray(prj.conic)
+    for r_, c_ in ((2, 0), (3, 1), (4, 2)):
+        rel = np.abs(w[r_][m] - conic[m, c_]) / (np.abs(conic[m, c_]) + 1e-5)
+        assert rel.max() < 1e-3
+    color = np.asarray(prj.color)
+    for r_, c_ in ((5, 0), (6, 1), (7, 2), (8, 3)):
+        assert np.abs(w[r_][m] - color[m, c_]).max() < 1e-4
+    # depth16: identical quantization (same divide, same truncation)
+    assert (w[12].view(np.uint32)[m] == np.asarray(prj.depth16)[m]).all()
+    # covered-tile stat: exact parity
+    assert w[15].view(np.int32).sum() == int(np.asarray(prj.num_tiles).sum())
+
+
+def test_words_block_frame_equivalent():
+    cloud = _scene()
+    cfg = RasterizerConfig(width=512, height=384,
+                           quality="fast").fast_defaults()
+    uni = make_uniforms(Camera.reset_pose(), cfg)
+    args = (cloud.means, cloud.cov3d, cloud.opacity, cloud.sh,
+            cloud.upload_time, uni.view, uni.proj, uni.camera_pos,
+            uni.model_scale, uni.time, cfg)
+    prj = project_splats(*args)
+    words = project_words(*args, num_splats=cloud.num_splats)
+    bf1, bg1 = build_block_frame2(prj, cfg, num_splats=cloud.num_splats)
+    bf2, bg2 = build_block_frame2_words(words, cfg)
+    # aggregate structure stats (fp reassociation can flip a boundary
+    # splat's screen CELL, permuting the stage-1 order — so per-slot
+    # equality is not the contract; per-SPLAT equality below is)
+    assert int(bf1.num_culled_pairs) == int(bf2.num_culled_pairs)
+    assert int(np.asarray(bf1.num_valid).sum()) == int(
+        np.asarray(bf2.num_valid).sum())
+    assert np.array_equal(np.asarray(bg1.valid), np.asarray(bg2.valid))
+    assert int(bg1.residual) == int(bg2.residual)
+
+    # per-splat payload equality, permutation-invariant: match chain lanes
+    # by their source-index row (13) and compare every payload quantity
+    def by_idx(payload):
+        p = np.asarray(payload)
+        flat = p.transpose(1, 0, 2).reshape(16, -1)         # (16, B*S)
+        rank = flat[12].view(np.uint32) ^ np.uint32(0x80000000)
+        live = (rank >> 16) != 0xFFFF                       # valid lanes
+        idx = flat[13].view(np.uint32)[live]
+        order = np.argsort(idx)
+        assert np.unique(idx).size == idx.size              # each splat once
+        return idx[order], flat[:, live][:, order]
+
+    i1, q1 = by_idx(bf1.payload)
+    i2, q2 = by_idx(bf2.payload)
+    assert np.array_equal(i1, i2)                           # same splat set
+    # rank row (depth16<<16 | idx>>7): center-free and bitwise per splat
+    assert np.array_equal(q1[12].view(np.uint32), q2[12].view(np.uint32))
+    # center-FREE numeric rows per splat: f3/f4/f5 (= -ca/2, -cc/2, -cb),
+    # rgb, image position. (f0..f2 and rows 14/15 are block-center-relative
+    # — a boundary splat may land in a different block, so those are only
+    # meaningful in combination, which the e2e image test gates.)
+    # rgb rides rgb9e5 through the sort in both paths: diffs are exactly 0
+    # or one 9-bit quantization step when an SH ulp crosses a rounding edge
+    for row, tol in ((3, 2e-3), (4, 2e-3), (5, 2e-3),
+                     (6, 4.1e-3), (7, 4.1e-3), (8, 4.1e-3),
+                     (9, 1e-2), (10, 1e-2)):
+        d = np.abs(q1[row] - q2[row])
+        assert d.max() < tol, (row, d.max())
+
+
+@pytest.mark.slow
+def test_end_to_end_image_equivalence():
+    cloud = _scene(65536, seed=11)
+    cfg = RasterizerConfig(width=512, height=384,
+                           quality="fast").fast_defaults()
+    uni = make_uniforms(Camera.reset_pose(), cfg)
+    img_j = np.asarray(render_frame_fast(
+        cloud, uni, cfg.replace(projection_kernel=False),
+        interpret=True).image)
+    img_k = np.asarray(render_frame_fast(
+        cloud, uni, cfg.replace(projection_kernel=True),
+        interpret=True).image)
+    psnr = _psnr(np.clip(img_j[:3], 0, 1), np.clip(img_k[:3], 0, 1))
+    assert psnr >= 50.0, psnr
