@@ -41,7 +41,10 @@ def main():
             assemble_image_v3, render_tiles_v3)
 
     n = 5_800_000
-    cfg = gs.RasterizerConfig(width=1920, height=1080, quality="fast")
+    # attribution runs at the shipping fast config (tile 32, batch_u 2);
+    # the jnp projection feeds it (the kernel path is timed in bench_v3)
+    cfg = gs.RasterizerConfig(width=1920, height=1080).fast_defaults()
+    cfg = cfg.replace(projection_kernel=False)
     variants = sys.argv[1:] or [
         "", "eval", "cums", "corr", "bigx", "pend",
         "eval,cums,corr,bigx,pend,emit",

@@ -112,10 +112,17 @@ def main():
         assemble_image_v3, render_tiles_v3)
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 5_800_000
-    ts = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-    cfg = gs.RasterizerConfig(width=1920, height=1080, quality="fast",
-                              tile_size=ts)
-    print(f"{n} splats, tile {ts} -> {cfg.tile_dims} tiles,",
+    # argv[2]: tile size override (0/absent = fast_defaults' measured best);
+    # GS_PROJKERN=0 forces the jnp projection for A/Bs
+    ts = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    cfg = gs.RasterizerConfig(width=1920, height=1080).fast_defaults()
+    if ts:
+        cfg = cfg.replace(tile_size=ts,
+                          batch_u=None if ts == 16 else cfg.batch_u)
+    if os.environ.get("GS_PROJKERN"):
+        cfg = cfg.replace(projection_kernel=os.environ["GS_PROJKERN"] == "1")
+    print(f"{n} splats, tile {cfg.tile_size} -> {cfg.tile_dims} tiles, "
+          f"projkern={cfg.projection_kernel},",
           jax.default_backend(), flush=True)
 
     t0 = time.perf_counter()
@@ -127,20 +134,38 @@ def main():
     print(f"scene ready {time.perf_counter()-t0:.0f}s", flush=True)
 
     # --- stage outputs (single shot) ----------------------------------------
-    prj = jax.jit(
-        lambda c, u: project_splats(
-            c.means, c.cov3d, c.opacity, c.sh, c.upload_time,
-            u.view, u.proj, u.camera_pos, u.model_scale, u.time, cfg),
-    )(cloud, uni)
-    prj = jax.block_until_ready(prj)
-    bf, bigs = jax.jit(
-        lambda p: build_block_frame2(p, cfg, num_splats=n))(prj)
+    if cfg.projection_kernel:
+        from godotgaussiansplatting_tpu.ops.projection_pallas import (
+            project_words)
+        from godotgaussiansplatting_tpu.ops.blocks2 import (
+            build_block_frame2_words)
+        prj = jax.jit(
+            lambda c, u: project_words(
+                c.means, c.cov3d, c.opacity, c.sh, c.upload_time,
+                u.view, u.proj, u.camera_pos, u.model_scale, u.time, cfg,
+                num_splats=n),
+        )(cloud, uni)
+        prj = jax.block_until_ready(prj)
+        bf, bigs = jax.jit(
+            lambda p: build_block_frame2_words(p, cfg))(prj)
+    else:
+        prj = jax.jit(
+            lambda c, u: project_splats(
+                c.means, c.cov3d, c.opacity, c.sh, c.upload_time,
+                u.view, u.proj, u.camera_pos, u.model_scale, u.time, cfg),
+        )(cloud, uni)
+        prj = jax.block_until_ready(prj)
+        bf, bigs = jax.jit(
+            lambda p: build_block_frame2(p, cfg, num_splats=n))(prj)
     bins = jax.jit(lambda b: bin_blocks2(b, cfg))(bf)
     tbg = jax.jit(lambda b: bin_bigs(b, cfg))(bigs)
 
     nb_arr = np.asarray(bins.tile_nblocks)
     nbig_arr = np.asarray(tbg.tile_nbig)
-    true_pairs = int(np.asarray(prj.num_tiles).sum())
+    if cfg.projection_kernel:
+        true_pairs = int(np.asarray(prj[15]).view(np.int32).sum())
+    else:
+        true_pairs = int(np.asarray(prj.num_tiles).sum())
     blk_pairs = int(nb_arr.sum())
     print(f"true splat-tile pairs: {true_pairs/1e6:.1f}M | "
           f"tile-block pairs: {blk_pairs/1e3:.0f}K "
@@ -163,21 +188,37 @@ def main():
         return make
 
     if os.environ.get("BENCH_STAGES", "1") == "1":
-        def st_proj(i, op):
-            c, u = op
-            u2 = u._replace(time=u.time + i.astype(jnp.float32) * 1e-6)
-            return project_splats(
-                c.means, c.cov3d, c.opacity, c.sh, c.upload_time,
-                u2.view, u2.proj, u2.camera_pos, u2.model_scale, u2.time, cfg)
-        tp = measure(stage_loop(
-            st_proj, lambda p: p.image_pos.ravel()[::65536].sum()),
-            (cloud, uni))
+        if cfg.projection_kernel:
+            def st_proj(i, op):
+                c, u = op
+                u2 = u._replace(time=u.time + i.astype(jnp.float32) * 1e-6)
+                return project_words(
+                    c.means, c.cov3d, c.opacity, c.sh, c.upload_time,
+                    u2.view, u2.proj, u2.camera_pos, u2.model_scale,
+                    u2.time, cfg, num_splats=n)
+            proj_probe = lambda p: p.ravel()[::65536].sum()  # noqa: E731
+
+            def st_blocks(i, p):
+                p = p.at[0].add(i.astype(jnp.float32) * 1e-7)
+                return build_block_frame2_words(p, cfg)
+        else:
+            def st_proj(i, op):
+                c, u = op
+                u2 = u._replace(time=u.time + i.astype(jnp.float32) * 1e-6)
+                return project_splats(
+                    c.means, c.cov3d, c.opacity, c.sh, c.upload_time,
+                    u2.view, u2.proj, u2.camera_pos, u2.model_scale,
+                    u2.time, cfg)
+            proj_probe = (  # noqa: E731
+                lambda p: p.image_pos.ravel()[::65536].sum())
+
+            def st_blocks(i, p):
+                p = p._replace(image_pos=p.image_pos
+                               + i.astype(jnp.float32) * 1e-7)
+                return build_block_frame2(p, cfg, num_splats=n)
+        tp = measure(stage_loop(st_proj, proj_probe), (cloud, uni))
         print(f"proj   : {tp*1e3:7.2f} ms", flush=True)
 
-        def st_blocks(i, p):
-            p = p._replace(image_pos=p.image_pos
-                           + i.astype(jnp.float32) * 1e-7)
-            return build_block_frame2(p, cfg, num_splats=n)
         tb = measure(stage_loop(
             st_blocks,
             lambda o: o[0].payload.ravel()[::65536].sum()

@@ -148,10 +148,12 @@ class RasterizerConfig:
     def fast_defaults(self) -> "RasterizerConfig":
         """This config with quality='fast' and the device-measured fast-path
         performance knobs (round 4, v5e, 5.8M/1080p headline): tile_size 32,
-        batch_u 2 — 79.8 ms/frame vs 125.5 at the reference's 16-px tiles,
-        with equal-or-better fidelity (FIDELITY_r04.json). Knobs already set
-        away from their dataclass defaults are respected."""
-        kw = {"quality": "fast"}
+        batch_u 2 (79.8 ms/frame vs 125.5 at the reference's 16-px tiles,
+        with equal-or-better fidelity, FIDELITY_r04.json) plus the fused
+        Pallas projection kernel (75.7 ms; on-device fidelity vs the exact
+        oracle measured >= the jnp path's on the same scene). Knobs already
+        set away from their dataclass defaults are respected."""
+        kw = {"quality": "fast", "projection_kernel": True}
         if self.tile_size == TILE_SIZE:
             kw["tile_size"] = 32
         if self.batch_u is None:
