@@ -131,8 +131,13 @@ def render_tiles(
         s, e, x, y, n = args
         px = x[:, None].astype(jnp.float32) + jnp.tile(lx, ts)[None, :]
         py = y[:, None].astype(jnp.float32) + jnp.repeat(lx, ts)[None, :]
-        q0 = jnp.ones((TB, ts * ts), jnp.float32)
-        acc0 = jnp.zeros((TB, ts * ts, 3), jnp.float32)
+        # seed the carry from a VARYING input (the per-shard pair values —
+        # tile coordinates are invariant arange math): under shard_map the
+        # while carry must enter with the body outputs' varying manual
+        # axes, and a literal zeros init is device-invariant
+        vz = sorted_values[0].astype(jnp.float32) * 0.0
+        q0 = jnp.ones((TB, ts * ts), jnp.float32) + vz
+        acc0 = jnp.zeros((TB, ts * ts, 3), jnp.float32) + vz
 
         def chunk_live(k, q):
             has_slots = jnp.any(s + k * CH < e)
