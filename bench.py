@@ -80,8 +80,9 @@ def main():
         # resident bf16 SH copy: halves projection's dominant HBM read
         # (ops/sh.py upcasts on read; band math stays f32)
         import dataclasses
-        cloud = dataclasses.replace(
-            cloud, sh=cloud.sh.astype(jnp.bfloat16))
+        from godotgaussiansplatting_tpu.models.splats import (
+            fast_cloud_view)
+        cloud = fast_cloud_view(cloud, planar_sh=cfg.projection_kernel)
     log(f"scene built in {time.perf_counter()-t0:.1f}s")
 
     cams = gs.orbit_trajectory(n_frames, radius=5.0, target=(0, 0, 6.0))

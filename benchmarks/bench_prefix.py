@@ -51,7 +51,8 @@ def main():
     print(f"{n} splats, {cfg.tile_dims} tiles,",
           jax.default_backend(), flush=True)
     cloud = get_cloud(n)
-    cloud = dataclasses.replace(cloud, sh=cloud.sh.astype(jnp.bfloat16))
+    from godotgaussiansplatting_tpu.models.splats import fast_cloud_view
+    cloud = fast_cloud_view(cloud, planar_sh=cfg.projection_kernel)
 
     n_frames = 8
     cams = gs.orbit_trajectory(n_frames, radius=5.0, target=(0, 0, 6.0))

@@ -128,7 +128,8 @@ def main():
     t0 = time.perf_counter()
     cloud = get_cloud(n)
     import dataclasses
-    cloud = dataclasses.replace(cloud, sh=cloud.sh.astype(jnp.bfloat16))
+    from godotgaussiansplatting_tpu.models.splats import fast_cloud_view
+    cloud = fast_cloud_view(cloud, planar_sh=cfg.projection_kernel)
     uni = make_uniforms(gs.orbit_trajectory(1, radius=5.0,
                                             target=(0, 0, 6.0))[0], cfg)
     print(f"scene ready {time.perf_counter()-t0:.0f}s", flush=True)
@@ -163,7 +164,7 @@ def main():
     nb_arr = np.asarray(bins.tile_nblocks)
     nbig_arr = np.asarray(tbg.tile_nbig)
     if cfg.projection_kernel:
-        true_pairs = int(np.asarray(prj[15]).view(np.int32).sum())
+        true_pairs = int(np.asarray(prj.cnt).reshape(-1, 128)[:, 1].sum())
     else:
         true_pairs = int(np.asarray(prj.num_tiles).sum())
     blk_pairs = int(nb_arr.sum())
@@ -196,10 +197,11 @@ def main():
                     c.means, c.cov3d, c.opacity, c.sh, c.upload_time,
                     u2.view, u2.proj, u2.camera_pos, u2.model_scale,
                     u2.time, cfg, num_splats=n)
-            proj_probe = lambda p: p.ravel()[::65536].sum()  # noqa: E731
+            proj_probe = (  # noqa: E731
+                lambda p: p.cnt.sum().astype(jnp.float32))
 
             def st_blocks(i, p):
-                p = p.at[0].add(i.astype(jnp.float32) * 1e-7)
+                p = p._replace(big=p.big + i.astype(jnp.float32) * 1e-9)
                 return build_block_frame2_words(p, cfg)
         else:
             def st_proj(i, op):

@@ -31,7 +31,8 @@ def main():
     cfg = gs.RasterizerConfig(width=1920, height=1080,
                               quality="fast").fast_defaults()
     cloud = get_cloud(n)
-    cloud = dataclasses.replace(cloud, sh=cloud.sh.astype(jnp.bfloat16))
+    from godotgaussiansplatting_tpu.models.splats import fast_cloud_view
+    cloud = fast_cloud_view(cloud, planar_sh=cfg.projection_kernel)
 
     n_frames = 8
     cams = gs.orbit_trajectory(n_frames, radius=5.0, target=(0, 0, 6.0))

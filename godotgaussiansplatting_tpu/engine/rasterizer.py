@@ -240,18 +240,15 @@ class Rasterizer:
         return out
 
     def _render_cloud(self):
-        """Fast-path render view of the model: SH bands cast ONCE to a
-        resident bf16 copy (the 16x3-coefficient f32 read dominates
-        projection HBM traffic; ops/sh.py upcasts on read so band math
-        stays f32). self.cloud keeps full precision for picking, state
-        save and .ply export; the copy refreshes when streaming swaps the
-        cloud."""
+        """Fast-path render view of the model (models/splats.fast_cloud_view:
+        resident bf16 SH, splat-minor for the fused projection kernel).
+        self.cloud keeps full precision for picking, state save and .ply
+        export; the copy refreshes when streaming swaps the cloud."""
         c = self.cloud
         if getattr(self, "_fast_cloud_src", None) is not c:
-            import dataclasses
-            import jax.numpy as jnp
-            self._fast_cloud = dataclasses.replace(
-                c, sh=c.sh.astype(jnp.bfloat16))
+            from ..models.splats import fast_cloud_view
+            self._fast_cloud = fast_cloud_view(
+                c, planar_sh=self.config.projection_kernel)
             self._fast_cloud_src = c
         return self._fast_cloud
 

@@ -139,6 +139,20 @@ def mortonize(cloud: SplatCloud) -> SplatCloud:
                       upload_time=r(cloud.upload_time), num_splats=n)
 
 
+def fast_cloud_view(cloud: SplatCloud, planar_sh: bool = True) -> SplatCloud:
+    """Render view of a cloud for the FAST path: SH cast once to bf16 (the
+    48-coefficient f32 read dominates projection HBM traffic; band math
+    upcasts on read) and, for the fused projection kernel, stored
+    splat-minor (48, P) so the kernel-boundary transpose is a relabeling
+    (it measured ~2.7 ms/frame as real data movement at the 5.8M/1080p
+    headline). The original cloud keeps full precision for picking, state
+    save and .ply export."""
+    sh = cloud.sh.astype(jnp.bfloat16)
+    if planar_sh and sh.ndim == 3:
+        sh = sh.transpose(1, 2, 0).reshape(48, sh.shape[0])
+    return dataclasses.replace(cloud, sh=sh)
+
+
 def synthetic_scene(
     num_splats: int,
     seed: int = 0,

@@ -585,59 +585,59 @@ def _frame_from_stage1(s1, B: int, S: int, cfg: RasterizerConfig,
     )
 
 
-def build_block_frame2_words(words: jnp.ndarray, cfg: RasterizerConfig,
+def build_block_frame2_words(words, cfg: RasterizerConfig,
                              num_splats: int | None = None,
                              big_cap: int | None = None):
-    """Fused-projection word image (ops/projection_pallas.py, (16, P) f32)
-    -> (BlockFrame2, BigSet). Same semantics as build_block_frame2: the
+    """Fused-projection outputs (ops/projection_pallas.ProjWords) ->
+    (BlockFrame2, BigSet). Same semantics as build_block_frame2: the
     kernel already performed the Phase-A per-splat packing (f16 conic
-    pairs, rgb9e5 color, big-candidate keys, screen-cell Morton), so this
-    runs only the sorts, the big selection and the post-sort block build."""
-    P = words.shape[1]
+    pairs, rgb9e5 color, big-candidate keys, screen-cell Morton) and
+    emitted every operand in its consumer's shape, so this runs only the
+    sorts, the big selection and the post-sort block build."""
+    P = words.key.shape[1]
     S = BLOCK_SIZE
     sb_size = min(SUPERBLOCK, P)
-    assert P % sb_size == 0
-    B = P // S
+    assert P % sb_size == 0, P
     SB = P // sb_size
+    B = P // S
     gx, gy = cfg.tile_dims
     ts = float(cfg.tile_size)
     inf = jnp.uint32(0xFFFFFFFF)
 
-    def u32w(k):
-        return jax.lax.bitcast_convert_type(words[k], jnp.uint32)
-
-    flags = u32w(14)
-    valid = (flags & 1) != 0
-    num_big = jnp.sum((flags >> 1) & 1).astype(jnp.int32)
-    depth16 = u32w(12)
+    cnt = words.cnt.reshape(-1, 128)
+    num_big = jnp.sum(cnt[:, 0]).astype(jnp.int32)
+    nt_total = jnp.sum(cnt[:, 1]).astype(jnp.int32)
 
     if big_cap is None:
         big_cap = default_big_cap(P)
     big_cap = max(big_cap, S)
-    CW = _big_chunk_width(P, sb_size)
-    tk_idx, tk_ok = _select_big_lanes(u32w(13).reshape(P // CW, CW), big_cap)
+    tk_idx, tk_ok = _select_big_lanes(words.bkey, big_cap)
     taken = jnp.zeros((P,), bool).at[tk_idx].set(tk_ok)
 
-    def gath(k):
-        return words[k][tk_idx]
+    def fgath(k):
+        return words.big[k][tk_idx]
+
+    def ugath(a):
+        return jax.lax.bitcast_convert_type(
+            a.reshape(P), jnp.float32)[tk_idx]
 
     idx = jnp.arange(P, dtype=jnp.uint32)
-    dep_tk = jnp.where(tk_ok, depth16[tk_idx], inf)
+    key_flat = words.key.reshape(P)
+    dep_tk = jnp.where(tk_ok, key_flat[tk_idx] & 0xFFFF, inf)
     bigs = _build_big_set(
-        (gath(0), gath(1), gath(2), gath(3), gath(4),
-         gath(5), gath(6), gath(7), gath(8), idx[tk_idx]),
+        (ugath(words.ix), ugath(words.iy),
+         fgath(0), fgath(1), fgath(2), fgath(3), fgath(4), fgath(5),
+         fgath(6), idx[tk_idx]),
         tk_ok, dep_tk,
         residual=num_big - jnp.sum(tk_ok).astype(jnp.int32),
         gx=gx, gy=gy, ts=ts)
 
-    morton15 = (flags >> 2) & 0x7FFF
-    key = jnp.where(valid & ~taken, (morton15 << 16) | depth16, inf)
+    def srows(a):
+        return a.reshape(SB, sb_size)
+
+    key = jnp.where(taken.reshape(SB, sb_size), inf, srows(words.key))
     s1 = jax.lax.sort(
-        (key.reshape(SB, sb_size),
-         u32w(0).reshape(SB, sb_size), u32w(1).reshape(SB, sb_size),
-         u32w(9).reshape(SB, sb_size), u32w(10).reshape(SB, sb_size),
-         u32w(11).reshape(SB, sb_size), idx.reshape(SB, sb_size)),
+        (key, srows(words.ix), srows(words.iy), srows(words.pc1),
+         srows(words.pc2), srows(words.rgb9), idx.reshape(SB, sb_size)),
         dimension=1, num_keys=1, is_stable=True)
-    nt_total = jnp.sum(
-        jax.lax.bitcast_convert_type(words[15], jnp.int32)).astype(jnp.int32)
     return _frame_from_stage1(s1, B, S, cfg, nt_total), bigs

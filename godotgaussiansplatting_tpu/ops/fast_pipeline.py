@@ -72,7 +72,7 @@ def render_frame_fast(
             cloud.upload_time, uniforms.view, uniforms.proj,
             uniforms.camera_pos, uniforms.model_scale, uniforms.time, cfg,
             num_splats=cloud.num_splats, interpret=interpret)
-        words = jax.lax.optimization_barrier(words)
+        words = type(words)(*jax.lax.optimization_barrier(tuple(words)))
         bf, bigs = build_block_frame2_words(words, cfg,
                                             big_cap=cfg.big_capacity)
     else:

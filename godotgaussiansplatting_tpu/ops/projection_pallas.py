@@ -11,34 +11,45 @@ per-splat pipeline in a single pass:
     SH color -> depth16 -> f16 conic pack + rgb9e5 color pack ->
     big-candidate key + screen-cell Morton code
 
-and writes one (16, P) word image (`ProjWords`) holding exactly the
-operands the block stage consumes. Every reference numeric quirk matches
-ops/projection.py (same formulas, same clamps — see that module's
-gsplat_projection.glsl line map); the packing matches ops/blocks2.py
-bit-for-bit (same _pack_f16 / _pack_rgb9e5 helpers traced into the
-kernel).
+and writes each downstream operand in its CONSUMER'S shape (a
+multi-output pallas_call), so nothing is re-laid-out between the kernel
+and the sorts — the earlier single (16, P) word image cost ~4.4 ms/frame
+of row-extraction fusions at the 5.8M/1080p headline. Every reference
+numeric quirk matches ops/projection.py (same formulas, same clamps —
+see that module's gsplat_projection.glsl line map); the packing matches
+ops/blocks2.py bit-for-bit (same _pack_f16 / _pack_rgb9e5 helpers traced
+into the kernel).
 
 Input layout: the kernel reads splat-minor (k, P) views of the SplatCloud
-arrays. XLA already lays (P, 3)/(P, 6)/(P, 16, 3) arrays out splat-minor
-(layouts {0,1} / {0,2,1} in the headline HLO), so the transposes at the
-call boundary are relabelings, not data movement.
+arrays. XLA already lays (P, 3)/(P, 6) arrays out splat-minor (layouts
+{0,1} in the headline HLO), so those transposes at the call boundary are
+relabelings; keep SH resident as (48, P) (models/splats.sh_planar) or its
+transpose is a real ~2.7 ms/frame data movement.
 
-Word rows (all stored as f32; u32 rows are bitcasts):
-    0 ix   1 iy            f32 pixel-space center
-    2 ca   3 cb   4 cc     f32 conic (full precision, big-lane tables)
-    5 r    6 g    7 b      f32 SH color
-    8 op                   f32 final (fade-scaled) opacity
-    9 pc1  10 pc2          u32 f16 bit-pairs (ca|cb, cc|op) — stage-1 sort
-    11 rgb9e5              u32 shared-exponent color — stage-1 sort
-    12 depth16             u32 quantized depth (<= 0xFFFE)
-    13 bkey                u32 big-candidate chunk key ((depth16<<8)|col)
-    14 flags               u32 bit0 valid, bit1 is_big, bits 2.. morton15
-    15 nt                  i32 covered-tile count (stats parity)
+Outputs (ProjWords namedtuple). Sort operands are (1, P) lane rows — the
+superblock reshape outside is a plain retiling copy (~0.06 ms each at the
+headline); Pallas TPU cannot write (1, CPK) windows of a (SB, sb_size)
+tiled array directly (block shapes must be (8k, 128m) or match the array
+dim), and the expensive per-lane extraction work lives in-kernel either
+way:
+    key   (1, P) u32   (morton15 << 16) | depth16, inf when culled —
+                       stage-1 sort key (pre big-lane knockout)
+    ix,iy (1, P) u32   f32 pixel-space center bits — sort operands
+    pc1   (1, P) u32   f16 bit-pair ca|cb — sort operand
+    pc2   (1, P) u32   f16 bit-pair cc|op — sort operand
+    rgb9  (1, P) u32   shared-exponent color — sort operand
+    bkey  (R, CW) u32  big-candidate chunk key ((depth16<<10)|col), inf
+                       for non-candidates — big row-sort rows
+    big   (7, P) f32   full-precision big-table rows [ca, cb, cc, r, g,
+                       b, opacity] (gathered at the taken lanes only)
+    cnt   (1, grid*128) i32  per-chunk partial sums at cols [128i] num_big
+                       and [128i+1] covered-tile count (stats parity)
 """
 
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -50,7 +61,21 @@ from .blocks import BIG_RADIUS
 from .blocks2 import _pack_rgb9e5, extents_from_conic
 from .sh import SH_C0, SH_C1, SH_C2, SH_C3
 
-PROJ_WORDS = 16
+BIG_ROWS = 7   # big-table rows: ca, cb, cc, r, g, b, opacity
+
+
+class ProjWords(NamedTuple):
+    """Fused-projection outputs, each in its consumer's shape (see module
+    docstring)."""
+    key: jnp.ndarray    # (1, P) u32
+    ix: jnp.ndarray     # (1, P) u32 (f32 bits)
+    iy: jnp.ndarray     # (1, P) u32 (f32 bits)
+    pc1: jnp.ndarray    # (1, P) u32
+    pc2: jnp.ndarray    # (1, P) u32
+    rgb9: jnp.ndarray   # (1, P) u32
+    bkey: jnp.ndarray   # (R, CW) u32
+    big: jnp.ndarray    # (BIG_ROWS, P) f32
+    cnt: jnp.ndarray    # (1, grid*128) i32
 
 
 def _f16_bits(x):
@@ -105,8 +130,9 @@ def _chunk(P: int) -> int:
 
 
 def _proj_kernel(uni_ref, means_ref, cov_ref, op_ref, ut_ref, sh_ref,
-                 out_ref, *, CPK, CW, cell, w, h, gx, gy, ts, sh_degree,
-                 jq_quirk):
+                 key_ref, ix_ref, iy_ref, pc1_ref, pc2_ref, rgb9_ref,
+                 bkey_ref, big_ref, cnt_ref, *, CPK, CW, cell, w, h, gx,
+                 gy, ts, sh_degree, jq_quirk):
     f32 = jnp.float32
     u32 = jnp.uint32
     i = pl.program_id(0)
@@ -119,9 +145,6 @@ def _proj_kernel(uni_ref, means_ref, cov_ref, op_ref, ut_ref, sh_ref,
 
     def bits(x):
         return jax.lax.bitcast_convert_type(x, u32)
-
-    def fbits(x):
-        return jax.lax.bitcast_convert_type(x, f32)
 
     # --- world/view/clip transforms (projection.py:75-79) -------------------
     ms = u(31)
@@ -296,26 +319,27 @@ def _proj_kernel(uni_ref, means_ref, cov_ref, op_ref, ut_ref, sh_ref,
         return v
 
     morton = (spread8(ctx & 0xFF) | (spread8(cty & 0xFF) << 1)) & u32(0x7FFF)
-    one, zero = u32(1), u32(0)
-    flags = (jnp.where(valid, one, zero)
-             | (jnp.where(is_big, one, zero) << 1) | (morton << 2))
 
-    out_ref[0:1, :] = ix
-    out_ref[1:2, :] = iy
-    out_ref[2:3, :] = ca
-    out_ref[3:4, :] = cb
-    out_ref[4:5, :] = cc
-    out_ref[5:6, :] = r
-    out_ref[6:7, :] = g
-    out_ref[7:8, :] = b
-    out_ref[8:9, :] = sop
-    out_ref[9:10, :] = fbits(pc1)
-    out_ref[10:11, :] = fbits(pc2)
-    out_ref[11:12, :] = fbits(rgb9)
-    out_ref[12:13, :] = fbits(depth16)
-    out_ref[13:14, :] = fbits(bkey)
-    out_ref[14:15, :] = fbits(flags)
-    out_ref[15:16, :] = fbits(nt.astype(jnp.int32))
+    key_ref[...] = jnp.where(valid, (morton << 16) | depth16,
+                             inf).reshape(key_ref.shape)
+    ix_ref[...] = bits(ix).reshape(ix_ref.shape)
+    iy_ref[...] = bits(iy).reshape(iy_ref.shape)
+    pc1_ref[...] = pc1.reshape(pc1_ref.shape)
+    pc2_ref[...] = pc2.reshape(pc2_ref.shape)
+    rgb9_ref[...] = rgb9.reshape(rgb9_ref.shape)
+    bkey_ref[...] = bkey.reshape(bkey_ref.shape)
+    big_ref[0:1, :] = ca
+    big_ref[1:2, :] = cb
+    big_ref[2:3, :] = cc
+    big_ref[3:4, :] = r
+    big_ref[4:5, :] = g
+    big_ref[5:6, :] = b
+    big_ref[6:7, :] = sop
+    c128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    nbig_c = jnp.sum(jnp.where(is_big, 1, 0))
+    nt_c = jnp.sum(nt)
+    cnt_ref[...] = jnp.where(c128 == 0, nbig_c,
+                             jnp.where(c128 == 1, nt_c, 0))
 
 
 def project_words(
@@ -332,15 +356,18 @@ def project_words(
     cfg: RasterizerConfig,
     num_splats: int | None = None,
     interpret: bool = False,
-) -> jnp.ndarray:
-    """One fused projection pass -> (PROJ_WORDS, P) f32 word image."""
+) -> ProjWords:
+    """One fused projection pass -> ProjWords (see module docstring)."""
     P = means.shape[0]
     w, h = cfg.target_size
     gx, gy = cfg.tile_dims
     CPK = _chunk(P)
     from .blocks2 import (SUPERBLOCK, _big_chunk_width,  # cycle-free import
                           adaptive_cell_shift)
-    CW = _big_chunk_width(P, min(SUPERBLOCK, P))
+    sb_size = min(SUPERBLOCK, P)
+    assert P % sb_size == 0, P
+    SB = P // sb_size
+    CW = _big_chunk_width(P, sb_size)
     cell = adaptive_cell_shift(num_splats or P, gx, gy)
     if jax.default_backend() == "cpu":
         interpret = True
@@ -367,16 +394,45 @@ def project_words(
         gx=gx, gy=gy, ts=float(cfg.tile_size), sh_degree=cfg.sh_degree,
         jq_quirk=bool(cfg.reference_jacobian_quirk))
 
-    # splat-minor views: XLA stores the SoA arrays splat-minor already, so
-    # these transposes are layout relabelings at the custom-call boundary
+    # splat-minor views: XLA stores the (P, k) SoA arrays splat-minor
+    # already, so these transposes are layout relabelings at the custom-call
+    # boundary. SH comes pre-planarized (models/splats.sh_planar) — its
+    # transpose here would be a real ~560 MB data movement per frame.
     meansT = means.T                                        # (3, P)
     covT = cov3d.T                                          # (6, P)
     opT = opacity.reshape(1, P)
     utT = upload_time.reshape(1, P)
-    shT = sh.transpose(1, 2, 0).reshape(48, P)              # (48, P)
+    shT = sh if sh.ndim == 2 else sh.transpose(1, 2, 0).reshape(48, P)
 
     grid = P // CPK
-    return pl.pallas_call(
+    u32 = jnp.uint32
+
+    def srow_spec():
+        return pl.BlockSpec((1, CPK), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    assert CPK % CW == 0, (CPK, CW)
+    outs = [
+        jax.ShapeDtypeStruct((1, P), u32),                  # key
+        jax.ShapeDtypeStruct((1, P), u32),                  # ix
+        jax.ShapeDtypeStruct((1, P), u32),                  # iy
+        jax.ShapeDtypeStruct((1, P), u32),                  # pc1
+        jax.ShapeDtypeStruct((1, P), u32),                  # pc2
+        jax.ShapeDtypeStruct((1, P), u32),                  # rgb9
+        jax.ShapeDtypeStruct((P // CW, CW), u32),           # bkey
+        jax.ShapeDtypeStruct((BIG_ROWS, P), jnp.float32),   # big table
+        jax.ShapeDtypeStruct((1, grid * 128), jnp.int32),   # cnt
+    ]
+    out_specs = [
+        srow_spec(), srow_spec(), srow_spec(), srow_spec(), srow_spec(),
+        srow_spec(),
+        pl.BlockSpec((CPK // CW, CW), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((BIG_ROWS, CPK), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 128), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
+    res = pl.pallas_call(
         kern,
         grid=(grid,),
         in_specs=[
@@ -388,10 +444,10 @@ def project_words(
             pl.BlockSpec((48, CPK), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((PROJ_WORDS, CPK), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((PROJ_WORDS, P), jnp.float32),
+        out_specs=out_specs,
+        out_shape=outs,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=interpret,
     )(uni, meansT, covT, opT, utT, shT)
+    return ProjWords(*res)

@@ -78,6 +78,57 @@ BATCH_LANES = 512  # lanes per chain batch at tile_size 16 (U = BATCH_LANES /
 LOG_MIN_ALPHA = -5.54126354515843  # ln(1/255)
 ALPHA_MAX = 0.99994
 
+# --- fast transcendentals (lowp path) ---------------------------------------
+# The batch eval's exp + log1p measured 16 ms/frame at the 5.8M/1080p
+# headline (ablate_r3: 'eval' 39.2 -> 23.2 ms with the matmul+exp stripped;
+# the matmul alone is ~1 MXU pass) — the builtin lowerings spend ~30 vector
+# ops/element. These bit-assembly versions hold <= 1.4e-4 relative error
+# (fit + verified in-range numerically), ~30x below the bf16 precision the
+# lowp path already quantizes `la` to, in ~10 ops each. Used ONLY under
+# lowp; lowp=False keeps the builtins (and is the A/B + high-fidelity path).
+_EXP2_C = (0.999951339, 0.693253055, 0.242256982, 0.055029266)
+_LN_C = (0.999999237, -0.499462338, 0.332939744, -0.272216532, 0.218373675)
+_LOG2E = 1.4426950408889634
+_LN2 = 0.6931471805599453
+_RN_MAGIC = 12582912.0          # 1.5 * 2^23: float add/sub rounds to int
+
+
+def fexp(x):
+    """exp(x), ~1.4e-4 relative error, monotone-safe clamps.
+
+    Clamped to [-87, 80]: GATE_OFF lanes (-1e4) land at exp(-87) ~= 1.6e-38
+    instead of 0.0 — harmless everywhere this is used (mass terms are
+    multiplied by <= 512 color values; log1p(-1.6e-38) is exactly 0)."""
+    f32, i32 = jnp.float32, jnp.int32
+    y = jnp.clip(x, -87.0, 80.0) * _LOG2E
+    ym = y + _RN_MAGIC
+    f = y - (ym - _RN_MAGIC)
+    c0, c1, c2, c3 = _EXP2_C
+    p = c0 + f * (c1 + f * (c2 + f * c3))
+    n = jax.lax.bitcast_convert_type(ym, i32) - jnp.int32(0x4B400000)
+    return jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(p, i32) + (n << 23), f32)
+
+
+def fln_one_minus(alpha):
+    """log1p(-alpha) for alpha in [0, ALPHA_MAX], ~1.1e-4 relative error.
+
+    u = 1 - alpha >= 6e-5 stays normal; exponent/mantissa split + a degree-5
+    log poly on m in [2/3, 4/3). Exact 0 at alpha == 0 (gated lanes)."""
+    f32, i32 = jnp.float32, jnp.int32
+    u = 1.0 - alpha
+    bits = jax.lax.bitcast_convert_type(u, i32)
+    e = (bits >> 23) - 127
+    m = jax.lax.bitcast_convert_type(
+        (bits & 0x7FFFFF) | jnp.int32(0x3F800000), f32)
+    adj = m > (4.0 / 3.0)
+    m = jnp.where(adj, m * 0.5, m)
+    e = (e + adj.astype(i32)).astype(f32)
+    t = m - 1.0
+    b0, b1, b2, b3, b4 = _LN_C
+    p = t * (b0 + t * (b1 + t * (b2 + t * (b3 + t * b4))))
+    return e * _LN2 + p
+
 
 def default_batch_u(tile_size: int) -> int:
     """Blocks per chain batch: 4 at tile 16; scaled down with pixel count
@@ -292,6 +343,11 @@ def _render_kernel_v3(
     else:
         pixf_cat = jnp.concatenate([pixf_b, pixf_b], axis=1)    # (NPX, 16)
 
+    # lowp already quantizes la to bf16 — the ~1e-4-relative fast
+    # transcendentals are noise at that precision and ~3x cheaper
+    k_exp = fexp if lowp else jnp.exp
+    k_ln1m = fln_one_minus if lowp else (lambda a: jnp.log1p(-a))
+
     def mm_power(F_all):
         Fh = F_all.astype(bf16)
         Fl = (F_all - Fh.astype(f32)).astype(bf16)
@@ -300,8 +356,8 @@ def _render_kernel_v3(
             pixf_cat, jnp.concatenate(parts, axis=0),
             (((1,), (0,)), ((), ())),
             preferred_element_type=f32)
-        alpha = jnp.minimum(jnp.exp(P), ALPHA_MAX)
-        la = jnp.log1p(-alpha)
+        alpha = jnp.minimum(k_exp(P), ALPHA_MAX)
+        la = k_ln1m(alpha)
         return alpha, la
 
     # --- init per-group state -----------------------------------------------
@@ -384,10 +440,10 @@ def _render_kernel_v3(
         if zc is not None:
             z = z + zc
         if al is not None:
-            w = (jnp.exp(z) * al.astype(f32)).astype(bf16)
+            w = (k_exp(z) * al.astype(f32)).astype(bf16)
         else:
             laf = la_b.astype(f32)
-            w = (jnp.exp(z) - jnp.exp(z + laf)).astype(bf16)
+            w = (k_exp(z) - k_exp(z + laf)).astype(bf16)
         cols_v[rs, 0:4] += jax.lax.dot_general(
             w, rgbT4, (((1,), (1,)), ((), ())),
             preferred_element_type=f32)

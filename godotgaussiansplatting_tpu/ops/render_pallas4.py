@@ -52,7 +52,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import RasterizerConfig
 from .blocks2 import BLOCK_SIZE, DEPTH_INVALID, GATE_OFF, PAYLOAD_WIDTH
 from .render_pallas3 import (ALPHA_MAX, LOG_MIN_ALPHA, OUT_CH,
-                             default_batch_u, pack_tile_rows_v3)
+                             default_batch_u, fexp, fln_one_minus,
+                             pack_tile_rows_v3)
 
 import os as _os
 
@@ -202,6 +203,11 @@ def _render_kernel_v4(
     pixf_cat = pixf_cat_ref[...]
     three = pixf_cat.shape[1] == 24
 
+    # identical fast-transcendental selection to v3 (bit-equality
+    # between the kernels is a test invariant)
+    k_exp = fexp if lowp else jnp.exp
+    k_ln1m = fln_one_minus if lowp else (lambda a: jnp.log1p(-a))
+
     def mm_power(F_all):
         Fh = F_all.astype(bf16)
         Fl = (F_all - Fh.astype(f32)).astype(bf16)
@@ -209,8 +215,8 @@ def _render_kernel_v4(
         P = jax.lax.dot_general(
             pixf_cat, jnp.concatenate(parts, axis=0),
             (((1,), (0,)), ((), ())), preferred_element_type=f32)
-        alpha = jnp.minimum(jnp.exp(P), ALPHA_MAX)
-        return alpha, jnp.log1p(-alpha)
+        alpha = jnp.minimum(k_exp(P), ALPHA_MAX)
+        return alpha, k_ln1m(alpha)
 
     # --- init per-step state -------------------------------------------------
     acc[...] = jnp.zeros((NPX, 4 * GT), f32)
@@ -281,7 +287,7 @@ def _render_kernel_v4(
 
     def emit_tile(g, la_b, z, rgbT4, al, zc):
         """acc[:, 4g:4g+4] += (al * exp(z + zc)) @ rgb — per-tile segment."""
-        w = (jnp.exp(z + zc) * al.astype(f32)).astype(bf16)  # (NPX, US)
+        w = (k_exp(z + zc) * al.astype(f32)).astype(bf16)  # (NPX, US)
         acc[:, 4 * g:4 * g + 4] += jax.lax.dot_general(
             w, rgbT4, (((1,), (1,)), ((), ())),
             preferred_element_type=f32)
@@ -490,7 +496,7 @@ def _render_kernel_v4(
             bsl = slice(g * obig, (g + 1) * obig)
             laf = bigla_ref[0, :, bsl].astype(f32)
             z = big_z[:, bsl]
-            w = (jnp.exp(z) - jnp.exp(z + laf)).astype(bf16)
+            w = (k_exp(z) - k_exp(z + laf)).astype(bf16)
             acc[:, 4 * g:4 * g + 4] += jax.lax.dot_general(
                 w, big_rgb[:, bsl], (((1,), (1,)), ((), ())),
                 preferred_element_type=f32)

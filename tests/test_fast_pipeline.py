@@ -190,3 +190,33 @@ def test_heatmap_and_picking_fast():
         model_scale=uni.model_scale * 0.05), cfg, interpret=True)
     empty = np.asarray(pick_splat_position_fast(small, 0, cloud, 0.05, cfg))
     assert np.all(np.isinf(empty)), f"empty-tile pick returned {empty}"
+
+
+def test_fast_transcendentals_accuracy():
+    """The lowp kernels' bit-assembly exp / log1p(-a) (render_pallas3.fexp,
+    fln_one_minus) must stay ~30x below bf16 precision across their full
+    operating ranges, flush GATE_OFF lanes to ordering-inert values, and be
+    exactly 0 at alpha == 0."""
+    from godotgaussiansplatting_tpu.ops.blocks2 import GATE_OFF
+    from godotgaussiansplatting_tpu.ops.render_pallas3 import (
+        ALPHA_MAX, fexp, fln_one_minus)
+
+    x = np.concatenate([np.linspace(-87.0, 1.0, 40001),
+                        np.array([GATE_OFF, -500.0, 0.0, 1.0])]
+                       ).astype(np.float32)
+    got = np.asarray(fexp(x)).astype(np.float64)
+    ref = np.exp(np.minimum(x.astype(np.float64), 80.0))
+    ref = np.maximum(ref, np.exp(-87.0))          # documented clamp floor
+    rel = np.abs(got - ref) / ref
+    assert rel.max() < 2.5e-4, rel.max()
+
+    a = np.concatenate([np.linspace(0.0, ALPHA_MAX, 40001),
+                        np.array([0.0, 1e-30, ALPHA_MAX])]).astype(np.float32)
+    got = np.asarray(fln_one_minus(a)).astype(np.float64)
+    ref = np.log1p(-a.astype(np.float64))
+    err = np.abs(got - ref)
+    rel = err / np.maximum(np.abs(ref), 1e-12)
+    # relative accuracy where la is meaningful; tiny-alpha lanes only need
+    # absolute accuracy (their la rounds away inside bf16 sums regardless)
+    assert ((rel < 2.5e-4) | (err < 1e-6)).all(), (rel.max(), err.max())
+    assert got[a == 0.0].max() == 0.0

@@ -8,6 +8,7 @@ pipeline's own 40 dB fidelity gates)."""
 
 import dataclasses
 
+import jax
 import numpy as np
 import pytest
 
@@ -61,27 +62,33 @@ def test_words_match_jnp_projection():
             cloud.upload_time, uni.view, uni.proj, uni.camera_pos,
             uni.model_scale, uni.time, cfg)
     prj = project_splats(*args)
-    w = np.asarray(project_words(*args, num_splats=cloud.num_splats))
+    w = jax.tree.map(np.asarray, project_words(
+        *args, num_splats=cloud.num_splats))
 
-    flags = w[14].view(np.uint32)
-    valid_k = (flags & 1) != 0
+    key = w.key.reshape(-1)
+    valid_k = key != 0xFFFFFFFF
     valid_j = np.asarray(prj.valid)
     assert (valid_k == valid_j).mean() == 1.0
     m = valid_k
     ipos = np.asarray(prj.image_pos)
-    assert np.abs(w[0][m] - ipos[m, 0]).max() < 1e-2          # px
-    assert np.abs(w[1][m] - ipos[m, 1]).max() < 1e-2
+    ix = w.ix.reshape(-1).view(np.float32)
+    iy = w.iy.reshape(-1).view(np.float32)
+    assert np.abs(ix[m] - ipos[m, 0]).max() < 1e-2            # px
+    assert np.abs(iy[m] - ipos[m, 1]).max() < 1e-2
     conic = np.asarray(prj.conic)
-    for r_, c_ in ((2, 0), (3, 1), (4, 2)):
-        rel = np.abs(w[r_][m] - conic[m, c_]) / (np.abs(conic[m, c_]) + 1e-5)
+    for r_, c_ in ((0, 0), (1, 1), (2, 2)):
+        rel = np.abs(w.big[r_][m] - conic[m, c_]) / (
+            np.abs(conic[m, c_]) + 1e-5)
         assert rel.max() < 1e-3
     color = np.asarray(prj.color)
-    for r_, c_ in ((5, 0), (6, 1), (7, 2), (8, 3)):
-        assert np.abs(w[r_][m] - color[m, c_]).max() < 1e-4
-    # depth16: identical quantization (same divide, same truncation)
-    assert (w[12].view(np.uint32)[m] == np.asarray(prj.depth16)[m]).all()
+    for r_, c_ in ((3, 0), (4, 1), (5, 2), (6, 3)):
+        assert np.abs(w.big[r_][m] - color[m, c_]).max() < 1e-4
+    # depth16 (key low bits): identical quantization (same divide, same
+    # truncation)
+    assert ((key & 0xFFFF)[m] == np.asarray(prj.depth16)[m]).all()
     # covered-tile stat: exact parity
-    assert w[15].view(np.int32).sum() == int(np.asarray(prj.num_tiles).sum())
+    assert (w.cnt.reshape(-1, 128)[:, 1].sum()
+            == int(np.asarray(prj.num_tiles).sum()))
 
 
 def test_words_block_frame_equivalent():
