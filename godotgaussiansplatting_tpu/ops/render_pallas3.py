@@ -90,7 +90,6 @@ _EXP2_C = (0.999951339, 0.693253055, 0.242256982, 0.055029266)
 _LN_C = (0.999999237, -0.499462338, 0.332939744, -0.272216532, 0.218373675)
 _LOG2E = 1.4426950408889634
 _LN2 = 0.6931471805599453
-_RN_MAGIC = 12582912.0          # 1.5 * 2^23: float add/sub rounds to int
 
 
 def fexp(x):
@@ -98,14 +97,19 @@ def fexp(x):
 
     Clamped to [-87, 80]: GATE_OFF lanes (-1e4) land at exp(-87) ~= 1.6e-38
     instead of 0.0 — harmless everywhere this is used (mass terms are
-    multiplied by <= 512 color values; log1p(-1.6e-38) is exactly 0)."""
+    multiplied by <= 512 color values; log1p(-1.6e-38) is exactly 0).
+
+    Integer/fraction split uses jnp.round (one VPU round-nearest-even op) —
+    NOT the classic add-1.5*2^23 magic-constant trick, which XLA's algebraic
+    simplifier cancels under jit ((y + C) - C -> y), silently zeroing the
+    fraction (regression-tested in tests/test_fast_pipeline.py)."""
     f32, i32 = jnp.float32, jnp.int32
     y = jnp.clip(x, -87.0, 80.0) * _LOG2E
-    ym = y + _RN_MAGIC
-    f = y - (ym - _RN_MAGIC)
+    yn = jnp.round(y)
+    f = y - yn
     c0, c1, c2, c3 = _EXP2_C
     p = c0 + f * (c1 + f * (c2 + f * c3))
-    n = jax.lax.bitcast_convert_type(ym, i32) - jnp.int32(0x4B400000)
+    n = yn.astype(i32)
     return jax.lax.bitcast_convert_type(
         jax.lax.bitcast_convert_type(p, i32) + (n << 23), f32)
 

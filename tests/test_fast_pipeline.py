@@ -196,10 +196,18 @@ def test_fast_transcendentals_accuracy():
     """The lowp kernels' bit-assembly exp / log1p(-a) (render_pallas3.fexp,
     fln_one_minus) must stay ~30x below bf16 precision across their full
     operating ranges, flush GATE_OFF lanes to ordering-inert values, and be
-    exactly 0 at alpha == 0."""
+    exactly 0 at alpha == 0.
+
+    MUST run under jax.jit: the original round-to-nearest magic-constant
+    trick was accurate eagerly but XLA's algebraic simplifier cancelled
+    (y + C) - C under jit, zeroing the fraction (41% relative error, 22 dB
+    frames). Eager-only accuracy checks cannot catch that class of bug."""
+    import jax
     from godotgaussiansplatting_tpu.ops.blocks2 import GATE_OFF
     from godotgaussiansplatting_tpu.ops.render_pallas3 import (
         ALPHA_MAX, fexp, fln_one_minus)
+    fexp = jax.jit(fexp)
+    fln_one_minus = jax.jit(fln_one_minus)
 
     x = np.concatenate([np.linspace(-87.0, 1.0, 40001),
                         np.array([GATE_OFF, -500.0, 0.0, 1.0])]
