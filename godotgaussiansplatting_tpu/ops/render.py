@@ -176,8 +176,8 @@ def render_tiles(
          tpx_p.reshape(nb, TB), tpy_p.reshape(nb, TB),
          cnt_p.reshape(nb, TB)),
     )
-    blended = blended.reshape(T_pad, 256, 3)[:T]
-    t_final = t_final.reshape(T_pad, 256)[:T]
+    blended = blended.reshape(T_pad, ts * ts, 3)[:T]
+    t_final = t_final.reshape(T_pad, ts * ts)[:T]
 
     # Assemble (gy*16, gx*16) and crop to the render target.
     wpx, hpx = cfg.target_size

@@ -167,9 +167,11 @@ def render_frame_fast_sharded(
     the per-(src, dst) block budget; default 4·B_local/n_tile (clamped to
     B_local, i.e. a lossless exchange whenever a shard's blocks fit).
     """
-    from ..ops.blocks2 import BLOCK_SIZE, BlockFrame2, build_block_frame2
+    from ..ops.blocks2 import (BLOCK_SIZE, BlockFrame2, build_block_frame2,
+                               build_block_frame2_words)
     from ..ops.bigbin import bin_bigs
     from ..ops.binning2 import bin_blocks2
+    from ..ops.projection_pallas import project_words
     from ..ops.render_pallas3 import assemble_image_v3, render_tiles_v3
 
     n_tile = mesh.shape["tile"]
@@ -186,14 +188,28 @@ def render_frame_fast_sharded(
         view, proj, cam_pos = view[0], proj[0], cam_pos[0]
         model_scale, time, heatmap = model_scale[0], time[0], heatmap[0]
 
-        prj = project_splats(means, cov3d, opac, sh, uptime,
-                             view, proj, cam_pos, model_scale, time, cfg)
         # num_splats stays the FULL count: shards hold Morton-contiguous
         # (spatially local) ranges at full local density, so the adaptive
         # cell granularity must match single-chip — and when the per-shard
         # capacity is a whole number of superblocks, shard clustering is
         # then IDENTICAL to single-chip (tested in tests/test_multichip.py)
-        bf, bigs = build_block_frame2(prj, cfg, num_splats=cloud.num_splats)
+        if cfg.projection_kernel:
+            # The shipping single-chip config (fast_defaults) runs the fused
+            # Pallas projection; the sharded path honors it so multi-chip
+            # correctness evidence covers the config users actually run.
+            words = project_words(means, cov3d, opac, sh, uptime,
+                                  view, proj, cam_pos, model_scale, time,
+                                  cfg, num_splats=cloud.num_splats,
+                                  interpret=interpret)
+            bf, bigs = build_block_frame2_words(
+                words, cfg, num_splats=cloud.num_splats,
+                big_cap=cfg.big_capacity)
+        else:
+            prj = project_splats(means, cov3d, opac, sh, uptime,
+                                 view, proj, cam_pos, model_scale, time, cfg)
+            bf, bigs = build_block_frame2(prj, cfg,
+                                          num_splats=cloud.num_splats,
+                                          big_cap=cfg.big_capacity)
 
         # --- block exchange: local blocks -> owning slabs ------------------
         r = bf.rect                               # (B_loc, 4) global tiles

@@ -68,8 +68,10 @@ def test_mesh_shapes():
     assert len(jax.devices()) >= 8
 
 
-@pytest.mark.parametrize("n_tile,height", [(2, 128), (4, 176)])
-def test_fast_sharded_matches_single_device(n_tile, height):
+@pytest.mark.parametrize("n_tile,height,ship", [(2, 128, False),
+                                                (4, 176, False),
+                                                (4, 176, True)])
+def test_fast_sharded_matches_single_device(n_tile, height, ship):
     """Fast path: sharded block build + all-to-all exchange must agree with
     the single-device fast pipeline. The shards cluster independently
     (different superblock spans and adaptive cell shifts), so depth-ORDER
@@ -85,6 +87,11 @@ def test_fast_sharded_matches_single_device(n_tile, height):
         render_frame_fast_sharded)
 
     cfg = RasterizerConfig(width=128, height=height)
+    if ship:
+        # the SHIPPING single-chip config: tile 32 / batch_u 2 / fused
+        # Pallas projection (RasterizerConfig.fast_defaults) — multi-chip
+        # correctness evidence must cover what bench.py measures
+        cfg = cfg.fast_defaults()
     cloud = mortonize(synthetic_scene(3000, seed=9, extent=2.5,
                                       scale_range=(0.01, 0.1)))
     cloud = dataclasses.replace(cloud, opacity=cloud.opacity * 0.15)
