@@ -50,13 +50,21 @@ class RasterizerConfig:
     # cap keeps its closest tiles (row-major prefix of its rect). 32 tiles covers a
     # ~90x90px footprint; overflow is counted and reported via telemetry.
     max_tiles_per_splat: int = 32
-    # Exact path: up to this many splats whose rect EXCEEDS max_tiles_per_splat
-    # are emitted densely over their full rect instead of being truncated
-    # (ops/sort.py). At the 5.8M headline the cap-32 truncation alone removed
-    # 1.7% of all pairs — a systematic luminance deficit the reference (which
-    # never drops pairs) does not have. 0 disables. Splats beyond this count
-    # still truncate at max_tiles_per_splat and land in num_overflow.
+    # Exact path: up to this many splats whose rect EXCEEDS the last tier of
+    # exact_tiers are emitted densely over their full rect instead of being
+    # truncated (ops/sort.py). At the 5.8M headline the cap-32 truncation
+    # alone removed 1.7% of all pairs — a systematic luminance deficit the
+    # reference (which never drops pairs) does not have. 0 disables. Splats
+    # beyond this count still truncate at max_tiles_per_splat and land in
+    # num_overflow.
     giant_splat_capacity: int = 256
+    # Exact path: ((width, capacity), ...) ladder for splats whose rect
+    # exceeds max_tiles_per_splat but doesn't need the full-screen giant
+    # matrix: each is compacted into its tier's (capacity, width) dense
+    # emission (ops/sort.py emit_and_sort). Sized so the 5.8M/1080p
+    # headline emits with ZERO truncation at ~40% of the old (P, 32) + the
+    # oracle's (P, 512) key-matrix cost. () disables (pre-round-5 layout).
+    exact_tiers: Tuple[Tuple[int, int], ...] = ((128, 32768), (512, 4096))
 
     # --- model ---
     sh_degree: int = 3          # 0..3; degree<3 zero-pads coefficients (README.md:64)

@@ -47,24 +47,53 @@ def emit_and_sort(
     depth16: jnp.ndarray,       # (P,) u32
     cfg: RasterizerConfig,
     capacity: int | None = None,
+    tiers=None,
 ) -> SortedPairs:
     """Emit (tile<<16|depth, splat_id) pairs and sort them (stages 2 of the
-    reference frame, gaussian_splatting_rasterizer.gd:143-150)."""
+    reference frame, gaussian_splatting_rasterizer.gd:143-150).
+
+    tiers: optional ((width, cap), ...) ladder (ascending widths, each a
+    refinement between max_tiles_per_splat and the dense giant path;
+    defaults to cfg.exact_tiers): a splat whose rect exceeds the base cap
+    is COMPACTED into the smallest tier whose width covers it and emitted
+    densely over that tier's (cap, width) matrix — so the 44-second oracle
+    habit of raising max_tiles_per_splat GLOBALLY (a (P, 512) = 3-billion-
+    slot key build at the 5.8M headline, FIDELITY_r04) is replaced by a
+    few small dense matrices sized by the actual wide-splat population.
+    Splats past a tier's cap keep the base truncation (counted in
+    num_overflow); splats wider than the last tier go to the
+    giant_splat_capacity full-rect path as before. Pre-sort buffer order
+    becomes (base, tiers..., giants) instead of purely splat-major — this
+    only permutes equal-(tile, depth16) tie order for wide splats, inside
+    the reference's own race-nondeterminism envelope (module docstring)."""
     P = rect.shape[0]
     gx, _ = cfg.tile_dims
     k_max = capacity if capacity is not None else cfg.sort_buffer_factor * P
     max_t = cfg.max_tiles_per_splat
+    if tiers is None:
+        tiers = getattr(cfg, "exact_tiers", ()) or ()
+    tiers = tuple((int(w), int(c)) for (w, c) in tiers if w > max_t)
 
     nt_capped = jnp.minimum(num_tiles, max_t)
+    tier_taken = []
+    prev_w = max_t
+    for (w_t, cap_t) in tiers:
+        elig = proj_valid & (num_tiles > prev_w) & (num_tiles <= w_t)
+        trank = jnp.cumsum(elig.astype(jnp.int32)) - 1
+        taken = elig & (trank < cap_t)
+        nt_capped = jnp.where(taken, 0, nt_capped)
+        tier_taken.append((w_t, cap_t, taken, trank))
+        prev_w = w_t
     gcap = cfg.giant_splat_capacity
     if gcap:
-        # Splats whose rect exceeds the cap leave the capped loop entirely
-        # and emit DENSELY over their full rect below (the reference never
-        # drops pairs; without this the cap-32 default truncated 1.7% of
-        # all pairs at the 5.8M/1080p headline — a systematic luminance
-        # deficit). Only the first `gcap` giants (in splat order) are taken;
-        # the rest keep the truncated capped-loop emission.
-        is_giant = proj_valid & (num_tiles > max_t)
+        # Splats whose rect exceeds the last tier leave the capped loop
+        # entirely and emit DENSELY over their full rect below (the
+        # reference never drops pairs; without this the cap-32 default
+        # truncated 1.7% of all pairs at the 5.8M/1080p headline — a
+        # systematic luminance deficit). Only the first `gcap` giants (in
+        # splat order) are taken; the rest keep the truncated capped-loop
+        # emission.
+        is_giant = proj_valid & (num_tiles > prev_w)
         grank = jnp.cumsum(is_giant.astype(jnp.int32)) - 1  # exclusive rank
         g_taken = is_giant & (grank < gcap)
         nt_capped = jnp.where(g_taken, 0, nt_capped)
@@ -92,6 +121,37 @@ def emit_and_sort(
                      jnp.uint32(INVALID_KEY)).reshape(-1)
     vals = jnp.where(live, splat_ids[:, None], 0).reshape(-1)
 
+    def _dense_emit(idx, alive, width):
+        """Compacted splat ids (C,) + live mask -> dense (C, width) pair
+        emission over each splat's full row-major rect (same addressing as
+        the base matrix; width >= the splat's num_tiles by construction)."""
+        rect_c = rect[idx]
+        nt_c = jnp.where(alive, num_tiles[idx], 0)
+        w_c = jnp.maximum(rect_c[:, 2] - rect_c[:, 0], 1)
+        base_c = rect_c[:, 1] * gx + rect_c[:, 0]
+        d_c = depth16[idx]
+        ttc = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], width), 1)
+        tyc = ttc // w_c[:, None]
+        txc = ttc - tyc * w_c[:, None]
+        tile_c = (base_c[:, None] + tyc * gx + txc).astype(jnp.uint32)
+        live_c = ttc < nt_c[:, None]
+        key_c = jnp.where(live_c, (tile_c << 16) | d_c[:, None],
+                          jnp.uint32(INVALID_KEY)).reshape(-1)
+        val_c = jnp.where(live_c, idx[:, None], 0).reshape(-1)
+        return key_c, val_c, jnp.sum(nt_c)
+
+    total_extra = jnp.int32(0)
+    for (w_t, cap_t, taken, trank) in tier_taken:
+        tdest = jnp.where(taken, trank, cap_t)
+        tidx = jnp.zeros((cap_t,), jnp.int32).at[tdest].set(
+            splat_ids, mode="drop", unique_indices=True)
+        talive = jnp.zeros((cap_t,), bool).at[tdest].set(
+            taken, mode="drop", unique_indices=True)
+        key_t, val_t, n_t = _dense_emit(tidx, talive, w_t)
+        keys = jnp.concatenate([keys, key_t])
+        vals = jnp.concatenate([vals, val_t])
+        total_extra = total_extra + n_t
+
     if gcap:
         # --- dense giant emission ------------------------------------------
         # Compact the taken giants into `gcap` slots, then emit every tile
@@ -99,28 +159,16 @@ def emit_and_sort(
         # appended after the capped pairs. (Pre-sort buffer position only
         # affects equal-(tile,depth16) tie order, which is inside the
         # reference's own race-nondeterminism envelope.)
-        T = cfg.num_tiles
         gdest = jnp.where(g_taken, grank, gcap)
         gidx = jnp.zeros((gcap,), jnp.int32).at[gdest].set(
             splat_ids, mode="drop", unique_indices=True)
         galive = jnp.zeros((gcap,), bool).at[gdest].set(
             g_taken, mode="drop", unique_indices=True)
-        rect_g = rect[gidx]
-        nt_g = jnp.where(galive, num_tiles[gidx], 0)
-        w_g = jnp.maximum(rect_g[:, 2] - rect_g[:, 0], 1)
-        base_g = rect_g[:, 1] * gx + rect_g[:, 0]
-        d_g = depth16[gidx]
-        ttg = jax.lax.broadcasted_iota(jnp.int32, (gcap, T), 1)
-        ty = ttg // w_g[:, None]
-        tx = ttg - ty * w_g[:, None]
-        tile_g = (base_g[:, None] + ty * gx + tx).astype(jnp.uint32)
-        live_g = ttg < nt_g[:, None]
-        key_g = jnp.where(live_g, (tile_g << 16) | d_g[:, None],
-                          jnp.uint32(INVALID_KEY)).reshape(-1)
-        val_g = jnp.where(live_g, gidx[:, None], 0).reshape(-1)
+        key_g, val_g, n_g = _dense_emit(gidx, galive, cfg.num_tiles)
         keys = jnp.concatenate([keys, key_g])
         vals = jnp.concatenate([vals, val_g])
-        total = total + jnp.sum(nt_g)
+        total_extra = total_extra + n_g
+    total = total + total_extra
     overflow = jnp.sum(num_tiles) - total
 
     skeys, svals = jax.lax.sort_key_val(keys, vals, is_stable=True)

@@ -97,9 +97,22 @@ def test_giant_splat_dense_emission():
     np.testing.assert_allclose(np.asarray(out.image), ref_img, atol=1e-3,
                                rtol=0)
 
-    # gcap=0 restores the truncating cap: pairs drop and overflow is counted.
+    # The round-5 TIER ladder alone (giant path off) must also cover these
+    # wide splats with zero truncation and oracle-exact pixels.
+    cfgt = RasterizerConfig(**base, max_tiles_per_splat=4,
+                            giant_splat_capacity=0,
+                            exact_tiers=((16, 16), (256, 64)))
+    outt = render_frame_jit(cloud, make_uniforms(cam, cfgt), cfgt,
+                            tile_capacity=512)
+    assert int(outt.stats.num_overflow) == 0
+    assert int(outt.stats.num_pairs) == info["num_pairs"]
+    np.testing.assert_allclose(np.asarray(outt.image), ref_img, atol=1e-3,
+                               rtol=0)
+
+    # gcap=0 + no tiers restores the truncating cap: pairs drop and
+    # overflow is counted.
     cfg0 = RasterizerConfig(**base, max_tiles_per_splat=4,
-                            giant_splat_capacity=0)
+                            giant_splat_capacity=0, exact_tiers=())
     out0 = render_frame_jit(cloud, make_uniforms(cam, cfg0), cfg0,
                             tile_capacity=512)
     assert int(out0.stats.num_overflow) > 0
@@ -109,7 +122,7 @@ def test_giant_splat_dense_emission():
     # Capacity smaller than the giant count: excess giants truncate but are
     # still counted, never silently lost.
     cfg1 = RasterizerConfig(**base, max_tiles_per_splat=4,
-                            giant_splat_capacity=2)
+                            giant_splat_capacity=2, exact_tiers=())
     out1 = render_frame_jit(cloud, make_uniforms(cam, cfg1), cfg1,
                             tile_capacity=512)
     assert (int(out1.stats.num_pairs) + int(out1.stats.num_overflow)
