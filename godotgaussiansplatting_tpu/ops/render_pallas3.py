@@ -78,14 +78,16 @@ BATCH_LANES = 512  # lanes per chain batch at tile_size 16 (U = BATCH_LANES /
 LOG_MIN_ALPHA = -5.54126354515843  # ln(1/255)
 ALPHA_MAX = 0.99994
 
-# --- fast transcendentals (lowp path) ---------------------------------------
-# The batch eval's exp + log1p measured 16 ms/frame at the 5.8M/1080p
-# headline (ablate_r3: 'eval' 39.2 -> 23.2 ms with the matmul+exp stripped;
-# the matmul alone is ~1 MXU pass) — the builtin lowerings spend ~30 vector
-# ops/element. These bit-assembly versions hold <= 1.4e-4 relative error
-# (fit + verified in-range numerically), ~30x below the bf16 precision the
-# lowp path already quantizes `la` to, in ~10 ops each. Used ONLY under
-# lowp; lowp=False keeps the builtins (and is the A/B + high-fidelity path).
+# --- software transcendentals (regression-test reference only) --------------
+# Round-3 history: these bit-assembly polynomials (<= 1.4e-4 relative error)
+# replaced the builtins under lowp on the theory that exp/log1p lowered to
+# ~30 vector ops each. Round 5 measured the opposite on real v5e hardware
+# (benchmarks/vpu_probe.py): Mosaic lowers jnp.exp/jnp.log1p to the VPU's
+# hardware transcendental path at ~2.5x the polynomial rate (builtin eval
+# chain 55 G/s vs 22 G/s), at equal or better accuracy (device A/B PSNR
+# identical). The kernels now use the builtins on every path; fexp /
+# fln_one_minus remain as the XLA-simplifier regression-test subjects
+# (tests/test_fast_pipeline.py) and a CPU-interpret reference.
 _EXP2_C = (0.999951339, 0.693253055, 0.242256982, 0.055029266)
 _LN_C = (0.999999237, -0.499462338, 0.332939744, -0.272216532, 0.218373675)
 _LOG2E = 1.4426950408889634
@@ -349,8 +351,14 @@ def _render_kernel_v3(
 
     # lowp already quantizes la to bf16 — the ~1e-4-relative fast
     # transcendentals are noise at that precision and ~3x cheaper
-    k_exp = fexp if lowp else jnp.exp
-    k_ln1m = fln_one_minus if lowp else (lambda a: jnp.log1p(-a))
+    # Round 5, measured on real v5e (benchmarks/vpu_probe.py): Mosaic lowers
+    # exp/log1p to the VPU's hardware transcendental path at ~2.5x the rate
+    # of the fexp/fln_one_minus polynomials (builtin eval chain 55 G/s vs
+    # 22 G/s) — the r3 software approximations were a pessimization on
+    # hardware. Builtins on both precision paths; the polys remain for the
+    # XLA-simplifier regression tests.
+    k_exp = jnp.exp
+    k_ln1m = lambda a: jnp.log1p(-a)  # noqa: E731
 
     def mm_power(F_all):
         Fh = F_all.astype(bf16)

@@ -205,8 +205,10 @@ def _render_kernel_v4(
 
     # identical fast-transcendental selection to v3 (bit-equality
     # between the kernels is a test invariant)
-    k_exp = fexp if lowp else jnp.exp
-    k_ln1m = fln_one_minus if lowp else (lambda a: jnp.log1p(-a))
+    # builtins on both paths — hardware transcendentals measured 2.5x the
+    # poly rate on v5e (see render_pallas3.py + benchmarks/vpu_probe.py)
+    k_exp = jnp.exp
+    k_ln1m = lambda a: jnp.log1p(-a)  # noqa: E731
 
     def mm_power(F_all):
         Fh = F_all.astype(bf16)
