@@ -349,8 +349,6 @@ def _render_kernel_v3(
     else:
         pixf_cat = jnp.concatenate([pixf_b, pixf_b], axis=1)    # (NPX, 16)
 
-    # lowp already quantizes la to bf16 — the ~1e-4-relative fast
-    # transcendentals are noise at that precision and ~3x cheaper
     # Round 5, measured on real v5e (benchmarks/vpu_probe.py): Mosaic lowers
     # exp/log1p to the VPU's hardware transcendental path at ~2.5x the rate
     # of the fexp/fln_one_minus polynomials (builtin eval chain 55 G/s vs
