@@ -201,7 +201,13 @@ def main():
                 lambda p: p.cnt.sum().astype(jnp.float32))
 
             def st_blocks(i, p):
-                p = p._replace(big=p.big + i.astype(jnp.float32) * 1e-9)
+                # defeat loop hoisting on EVERY expensive sub-stage: flip a
+                # low bit of both sort keys so the stage-1 row sort, the big
+                # selection sorts and everything downstream recompute each
+                # iteration (an invariant-input perturbation lets XLA hoist
+                # the sorts clean out of the timing loop)
+                b = (i & 1).astype(jnp.uint32)
+                p = p._replace(key=p.key ^ b, bkey=p.bkey ^ b)
                 return build_block_frame2_words(p, cfg)
         else:
             def st_proj(i, op):

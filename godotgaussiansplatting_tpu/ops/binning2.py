@@ -61,8 +61,17 @@ def bin_blocks2(
     # operand traffic (see ops/blocks.py), and (NS, C1) candidate gathers
     # are tiny by comparison.
     minmax = (bf.min_depth << 16) | (bf.max_depth & 0xFFFF)
+    import os as _os
+    if _os.environ.get("GS_BIN_ORDER", "min") == "mid":
+        # sweep-only trace-time knob: order tile lists by depth MIDPOINT
+        # instead of min — wide spill blocks then split their ordering
+        # error between too-early and too-late instead of all-late
+        okey = (((bf.min_depth + bf.max_depth) >> 1) << 16) | (
+            bf.max_depth & 0xFFFF)
+    else:
+        okey = minmax
     _, gidx = jax.lax.sort(
-        (minmax, jnp.arange(B, dtype=jnp.uint32)),
+        (okey, jnp.arange(B, dtype=jnp.uint32)),
         dimension=0, num_keys=1, is_stable=True)
     gidx = gidx.astype(jnp.int32)
     r = bf.rect[gidx]                               # (B, 4), depth-ordered

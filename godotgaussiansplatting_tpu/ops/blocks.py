@@ -21,8 +21,14 @@ from __future__ import annotations
 
 import numpy as np
 
+import os as _os
+
 BLOCK_SIZE = 128    # splats per block (tight rects vs DMA efficiency)
-SUPERBLOCK = 16384  # splats re-clustered together per frame (128 blocks)
+# Splats re-clustered together per frame (128 blocks at the default).
+# GS_SUPERBLOCK is a sweep-only import-time override for device A/Bs of the
+# stage-1 sort width (bitonic stage count scales with log2(width)); the
+# shipped value is the measured choice. Must divide PAD_MULTIPLE (16384).
+SUPERBLOCK = int(_os.environ.get("GS_SUPERBLOCK", "16384"))
 CELL_SHIFT = 1      # screen-cluster cell edge in tiles = 2^CELL_SHIFT
 BIG_RADIUS = 32.0   # px; splats at least this wide are extracted into the
                     # per-tile big-lane lists (ops/bigbin.py)

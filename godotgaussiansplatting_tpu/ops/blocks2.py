@@ -399,15 +399,29 @@ def build_block_frame2(prj: ProjectedSplats, cfg: RasterizerConfig,
     tk_idx, tk_ok = _select_big_lanes(bkey, big_cap)
     taken = jnp.zeros((P,), bool).at[tk_idx].set(tk_ok).reshape(SB, sb_size)
 
+    # Packed per-splat words, shared by the stage-1 sort operands AND the
+    # big-lane extraction below: gathering the f16/rgb9e5 packed words (5
+    # gathers + depth) instead of the ten raw f32 columns halves the
+    # extraction's ~0.3 ms-per-gather cost at the headline, at the same
+    # precision class the chain path already applies to every splat.
+    u32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint32)  # noqa: E731
+    payload_words = (
+        u32(ipos_sb[..., 0]), u32(ipos_sb[..., 1]),
+        _pack_f16(conic[..., 0], conic[..., 1]),
+        _pack_f16(conic[..., 2], color[..., 3]),
+        _pack_rgb9e5(color[..., 0], color[..., 1], color[..., 2]))
+
     def gath(a):
         return a.reshape(P)[tk_idx]
 
     dep_tk = jnp.where(tk_ok, gath(depth_sb), inf)
+    ca_tk, cb_tk = _unpack_f16(gath(payload_words[2]))
+    cc_tk, op_tk = _unpack_f16(gath(payload_words[3]))
+    r_tk, g_tk, b_tk = _unpack_rgb9e5(gath(payload_words[4]))
     bigs = _build_big_set(
         (gath(ipos_sb[..., 0]), gath(ipos_sb[..., 1]),
-         gath(conic[..., 0]), gath(conic[..., 1]), gath(conic[..., 2]),
-         gath(color[..., 0]), gath(color[..., 1]), gath(color[..., 2]),
-         gath(color[..., 3]), gath(idx)),
+         ca_tk, cb_tk, cc_tk, r_tk, g_tk, b_tk, op_tk,
+         tk_idx.astype(jnp.uint32)),
         tk_ok, dep_tk,
         residual=(jnp.sum(is_big) - jnp.sum(tk_ok)).astype(jnp.int32),
         gx=gx, gy=gy, ts=ts)
@@ -420,12 +434,6 @@ def build_block_frame2(prj: ProjectedSplats, cfg: RasterizerConfig,
     # all — coverage extents rebuild from the carried conic/opacity)
     key = jnp.where(valid_sb & ~taken,
                     ((morton & 0x7FFF) << 16) | depth_sb, inf)
-    u32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint32)  # noqa: E731
-    payload_words = (
-        u32(ipos_sb[..., 0]), u32(ipos_sb[..., 1]),
-        _pack_f16(conic[..., 0], conic[..., 1]),
-        _pack_f16(conic[..., 2], color[..., 3]),
-        _pack_rgb9e5(color[..., 0], color[..., 1], color[..., 2]))
     import os as _os
     if _os.environ.get("GS_BLOCKS_GATHER", "0") == "1":
         # perm-sort variant (GS_BLOCKS_GATHER=1, trace-time knob for TPU
@@ -614,9 +622,6 @@ def build_block_frame2_words(words, cfg: RasterizerConfig,
     tk_idx, tk_ok = _select_big_lanes(words.bkey, big_cap)
     taken = jnp.zeros((P,), bool).at[tk_idx].set(tk_ok)
 
-    def fgath(k):
-        return words.big[k][tk_idx]
-
     def ugath(a):
         return jax.lax.bitcast_convert_type(
             a.reshape(P), jnp.float32)[tk_idx]
@@ -624,10 +629,17 @@ def build_block_frame2_words(words, cfg: RasterizerConfig,
     idx = jnp.arange(P, dtype=jnp.uint32)
     key_flat = words.key.reshape(P)
     dep_tk = jnp.where(tk_ok, key_flat[tk_idx] & 0xFFFF, inf)
+    # big lanes unpack from the packed sort words (f16 conic/opacity,
+    # rgb9e5 color) — the same precision class the chains carry; this
+    # halves the extraction gathers and drops the kernel's former
+    # (7, P) f32 big table (162 MB/frame of writes) entirely.
+    ca_tk, cb_tk = _unpack_f16(words.pc1.reshape(P)[tk_idx])
+    cc_tk, op_tk = _unpack_f16(words.pc2.reshape(P)[tk_idx])
+    r_tk, g_tk, b_tk = _unpack_rgb9e5(words.rgb9.reshape(P)[tk_idx])
     bigs = _build_big_set(
         (ugath(words.ix), ugath(words.iy),
-         fgath(0), fgath(1), fgath(2), fgath(3), fgath(4), fgath(5),
-         fgath(6), idx[tk_idx]),
+         ca_tk, cb_tk, cc_tk, r_tk, g_tk, b_tk, op_tk,
+         tk_idx.astype(jnp.uint32)),
         tk_ok, dep_tk,
         residual=num_big - jnp.sum(tk_ok).astype(jnp.int32),
         gx=gx, gy=gy, ts=ts)

@@ -40,10 +40,15 @@ way:
     rgb9  (1, P) u32   shared-exponent color — sort operand
     bkey  (R, CW) u32  big-candidate chunk key ((depth16<<10)|col), inf
                        for non-candidates — big row-sort rows
-    big   (7, P) f32   full-precision big-table rows [ca, cb, cc, r, g,
-                       b, opacity] (gathered at the taken lanes only)
     cnt   (1, grid*128) i32  per-chunk partial sums at cols [128i] num_big
                        and [128i+1] covered-tile count (stats parity)
+
+The big-lane extraction (ops/blocks2.build_block_frame2_words) gathers its
+~40K taken lanes from the packed pc1/pc2/rgb9 words and unpacks — an
+earlier (7, P) full-precision f32 big table cost 162 MB/frame of kernel
+writes plus four extra 0.3 ms scalar gathers at the 5.8M headline for a
+precision class (f16 conic, rgb9e5 color) the chain path already accepts
+for every splat.
 """
 
 from __future__ import annotations
@@ -61,9 +66,6 @@ from .blocks import BIG_RADIUS
 from .blocks2 import _pack_rgb9e5, extents_from_conic
 from .sh import SH_C0, SH_C1, SH_C2, SH_C3
 
-BIG_ROWS = 7   # big-table rows: ca, cb, cc, r, g, b, opacity
-
-
 class ProjWords(NamedTuple):
     """Fused-projection outputs, each in its consumer's shape (see module
     docstring)."""
@@ -74,7 +76,6 @@ class ProjWords(NamedTuple):
     pc2: jnp.ndarray    # (1, P) u32
     rgb9: jnp.ndarray   # (1, P) u32
     bkey: jnp.ndarray   # (R, CW) u32
-    big: jnp.ndarray    # (BIG_ROWS, P) f32
     cnt: jnp.ndarray    # (1, grid*128) i32
 
 
@@ -131,7 +132,7 @@ def _chunk(P: int) -> int:
 
 def _proj_kernel(uni_ref, means_ref, cov_ref, op_ref, ut_ref, sh_ref,
                  key_ref, ix_ref, iy_ref, pc1_ref, pc2_ref, rgb9_ref,
-                 bkey_ref, big_ref, cnt_ref, *, CPK, CW, cell, w, h, gx,
+                 bkey_ref, cnt_ref, *, CPK, CW, cell, w, h, gx,
                  gy, ts, sh_degree, jq_quirk):
     f32 = jnp.float32
     u32 = jnp.uint32
@@ -328,13 +329,6 @@ def _proj_kernel(uni_ref, means_ref, cov_ref, op_ref, ut_ref, sh_ref,
     pc2_ref[...] = pc2.reshape(pc2_ref.shape)
     rgb9_ref[...] = rgb9.reshape(rgb9_ref.shape)
     bkey_ref[...] = bkey.reshape(bkey_ref.shape)
-    big_ref[0:1, :] = ca
-    big_ref[1:2, :] = cb
-    big_ref[2:3, :] = cc
-    big_ref[3:4, :] = r
-    big_ref[4:5, :] = g
-    big_ref[5:6, :] = b
-    big_ref[6:7, :] = sop
     c128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     nbig_c = jnp.sum(jnp.where(is_big, 1, 0))
     nt_c = jnp.sum(nt)
@@ -420,15 +414,12 @@ def project_words(
         jax.ShapeDtypeStruct((1, P), u32),                  # pc2
         jax.ShapeDtypeStruct((1, P), u32),                  # rgb9
         jax.ShapeDtypeStruct((P // CW, CW), u32),           # bkey
-        jax.ShapeDtypeStruct((BIG_ROWS, P), jnp.float32),   # big table
         jax.ShapeDtypeStruct((1, grid * 128), jnp.int32),   # cnt
     ]
     out_specs = [
         srow_spec(), srow_spec(), srow_spec(), srow_spec(), srow_spec(),
         srow_spec(),
         pl.BlockSpec((CPK // CW, CW), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((BIG_ROWS, CPK), lambda i: (0, i),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 128), lambda i: (0, i), memory_space=pltpu.VMEM),
     ]

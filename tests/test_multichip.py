@@ -11,9 +11,13 @@ from godotgaussiansplatting_tpu.ops.pipeline import make_uniforms
 from godotgaussiansplatting_tpu.parallel.sharded import (
     make_mesh, render_frame_sharded, stack_uniforms)
 
-pytestmark = pytest.mark.slow  # interpret-mode / mesh suites: full tier only
+# Tiering: every test here is at least `slow` (interpret-mode Pallas on a
+# virtual 8-CPU mesh); the two full-resolution 1080p cases are `huge` ONLY
+# (weekly tier) so `pytest -m slow` finishes in minutes. Run this file with
+# `pytest -m 'slow or huge' tests/test_multichip.py`.
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n_view,n_tile", [(1, 2), (1, 4), (2, 4)])
 def test_sharded_matches_single_device(n_view, n_tile):
     cfg = RasterizerConfig(width=128, height=64 * n_tile,
@@ -38,6 +42,7 @@ def test_sharded_matches_single_device(n_view, n_tile):
             err_msg=f"view {v} mismatch")
 
 
+@pytest.mark.huge
 def test_sharded_1080p_slab_padding():
     """1080p has 68 tile rows; 68 % 8 != 0 — slabs must pad, not assert
     (round-1 VERDICT weak #2). Exact path over the full 8-device mesh.
@@ -62,12 +67,14 @@ def test_sharded_1080p_slab_padding():
     np.testing.assert_allclose(img[0], np.asarray(single.image), atol=2e-3)
 
 
+@pytest.mark.slow
 def test_mesh_shapes():
     mesh = make_mesh(n_view=2, n_tile=4)
     assert mesh.shape == {"view": 2, "tile": 4}
     assert len(jax.devices()) >= 8
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n_tile,height,ship", [(2, 128, False),
                                                 (4, 176, False),
                                                 (4, 176, True)])
@@ -113,6 +120,7 @@ def test_fast_sharded_matches_single_device(n_tile, height, ship):
     assert int(np.asarray(npairs)[0]) == int(single.stats.num_pairs)
 
 
+@pytest.mark.slow
 def test_fast_sharded_psnr_normal_opacity():
     """Ordering fidelity of the sharded fast path at NORMAL opacity
     (round-2 VERDICT weak #3): with the per-shard capacity a whole number
@@ -146,6 +154,7 @@ def test_fast_sharded_psnr_normal_opacity():
     assert int(np.asarray(npairs)[0]) == int(single.stats.num_pairs)
 
 
+@pytest.mark.huge
 def test_fast_sharded_1080p_8way():
     """8-way 1080p fast path on the CPU mesh (round-2 VERDICT weak #3):
     full-resolution slab padding (68 rows -> 9-row slabs), the Pallas

@@ -75,14 +75,30 @@ def test_words_match_jnp_projection():
     iy = w.iy.reshape(-1).view(np.float32)
     assert np.abs(ix[m] - ipos[m, 0]).max() < 1e-2            # px
     assert np.abs(iy[m] - ipos[m, 1]).max() < 1e-2
+    # conic/opacity parity via the packed f16 words (the raw f32 big table
+    # was dropped — big lanes now unpack pc1/pc2/rgb9 like the chains do)
     conic = np.asarray(prj.conic)
-    for r_, c_ in ((0, 0), (1, 1), (2, 2)):
-        rel = np.abs(w.big[r_][m] - conic[m, c_]) / (
-            np.abs(conic[m, c_]) + 1e-5)
-        assert rel.max() < 1e-3
     color = np.asarray(prj.color)
-    for r_, c_ in ((3, 0), (4, 1), (5, 2), (6, 3)):
-        assert np.abs(w.big[r_][m] - color[m, c_]).max() < 1e-4
+
+    def f16_halves(wrd):
+        wrd = wrd.reshape(-1)
+        lo = (wrd & 0xFFFF).astype(np.uint16).view(np.float16)
+        hi = (wrd >> 16).astype(np.uint16).view(np.float16)
+        return lo.astype(np.float32), hi.astype(np.float32)
+
+    ca_w, cb_w = f16_halves(w.pc1)
+    cc_w, op_w = f16_halves(w.pc2)
+    for got, ref in ((ca_w, conic[:, 0]), (cb_w, conic[:, 1]),
+                     (cc_w, conic[:, 2]), (op_w, color[:, 3])):
+        rel = np.abs(got[m] - ref[m]) / (np.abs(ref[m]) + 1e-5)
+        assert rel.max() < 4e-3          # f16 rounding (2^-11) + reassoc
+    r9 = w.rgb9.reshape(-1)
+    e9 = ((r9 >> 27) & 0x1F).astype(np.int32) - 15
+    s9 = np.exp2((e9 - 9).astype(np.float32))
+    for sh_, c_ in ((0, 0), (9, 1), (18, 2)):
+        got = ((r9 >> sh_) & 0x1FF).astype(np.float32) * s9
+        mx = np.maximum(color[:, :3].max(axis=1), 1e-6)
+        assert (np.abs(got[m] - color[m, c_]) / mx[m]).max() < 2 ** -8
     # depth16 (key low bits): identical quantization (same divide, same
     # truncation)
     assert ((key & 0xFFFF)[m] == np.asarray(prj.depth16)[m]).all()
