@@ -114,6 +114,14 @@ def emit_and_sort(
     # both layouts are (splat-major, slot-minor) under the stable sort.
     tt = jax.lax.broadcasted_iota(jnp.int32, (P, max_t), 1)
     live = proj_valid[:, None] & (tt < nt_capped[:, None])
+    # Emission-order overflow: the reference's sort buffer is a FIXED 10N
+    # allocation populated splat-major (gaussian_splatting_rasterizer.gd:79,
+    # gsplat_projection.glsl:196) — pairs past it never exist. Masking by
+    # each pair's emission position reproduces that (drops spread across
+    # late splats, usually saturated-over anyway). Slicing AFTER the sort
+    # instead would delete the highest tile ids wholesale — blanking the
+    # bottom of the frame on overflow (round-5 regression fix).
+    live = live & (offsets[:, None] + tt < k_max)
     ty = tt // rect_w[:, None]
     tx = tt - ty * rect_w[:, None]
     tile_m = (base_tile[:, None] + ty * gx + tx).astype(jnp.uint32)
@@ -121,20 +129,23 @@ def emit_and_sort(
                      jnp.uint32(INVALID_KEY)).reshape(-1)
     vals = jnp.where(live, splat_ids[:, None], 0).reshape(-1)
 
-    def _dense_emit(idx, alive, width):
+    def _dense_emit(idx, alive, width, pos0):
         """Compacted splat ids (C,) + live mask -> dense (C, width) pair
         emission over each splat's full row-major rect (same addressing as
-        the base matrix; width >= the splat's num_tiles by construction)."""
+        the base matrix; width >= the splat's num_tiles by construction).
+        pos0: emission position of this group's first pair (for the
+        buffer-overflow mask above)."""
         rect_c = rect[idx]
         nt_c = jnp.where(alive, num_tiles[idx], 0)
         w_c = jnp.maximum(rect_c[:, 2] - rect_c[:, 0], 1)
         base_c = rect_c[:, 1] * gx + rect_c[:, 0]
         d_c = depth16[idx]
+        off_c = jnp.cumsum(nt_c) - nt_c
         ttc = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], width), 1)
         tyc = ttc // w_c[:, None]
         txc = ttc - tyc * w_c[:, None]
         tile_c = (base_c[:, None] + tyc * gx + txc).astype(jnp.uint32)
-        live_c = ttc < nt_c[:, None]
+        live_c = (ttc < nt_c[:, None]) & (pos0 + off_c[:, None] + ttc < k_max)
         key_c = jnp.where(live_c, (tile_c << 16) | d_c[:, None],
                           jnp.uint32(INVALID_KEY)).reshape(-1)
         val_c = jnp.where(live_c, idx[:, None], 0).reshape(-1)
@@ -147,7 +158,8 @@ def emit_and_sort(
             splat_ids, mode="drop", unique_indices=True)
         talive = jnp.zeros((cap_t,), bool).at[tdest].set(
             taken, mode="drop", unique_indices=True)
-        key_t, val_t, n_t = _dense_emit(tidx, talive, w_t)
+        key_t, val_t, n_t = _dense_emit(tidx, talive, w_t,
+                                        total + total_extra)
         keys = jnp.concatenate([keys, key_t])
         vals = jnp.concatenate([vals, val_t])
         total_extra = total_extra + n_t
@@ -164,7 +176,8 @@ def emit_and_sort(
             splat_ids, mode="drop", unique_indices=True)
         galive = jnp.zeros((gcap,), bool).at[gdest].set(
             g_taken, mode="drop", unique_indices=True)
-        key_g, val_g, n_g = _dense_emit(gidx, galive, cfg.num_tiles)
+        key_g, val_g, n_g = _dense_emit(gidx, galive, cfg.num_tiles,
+                                        total + total_extra)
         keys = jnp.concatenate([keys, key_g])
         vals = jnp.concatenate([vals, val_g])
         total_extra = total_extra + n_g

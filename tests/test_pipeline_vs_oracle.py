@@ -127,3 +127,48 @@ def test_giant_splat_dense_emission():
                             tile_capacity=512)
     assert (int(out1.stats.num_pairs) + int(out1.stats.num_overflow)
             == info["num_pairs"])
+
+
+def test_sort_buffer_overflow_drops_in_emission_order():
+    """When total pairs exceed the 10N sort buffer, the overflow must drop in
+    EMISSION (splat-major) order — the reference's fixed buffer simply never
+    holds pairs past 10N (gaussian_splatting_rasterizer.gd:79). A round-4
+    regression dropped the tail of the SORTED buffer instead, deleting the
+    highest tile ids wholesale (black band at the frame bottom)."""
+    import jax.numpy as jnp
+
+    from godotgaussiansplatting_tpu.config import INVALID_KEY
+    from godotgaussiansplatting_tpu.ops.sort import emit_and_sort
+
+    cfg = RasterizerConfig(width=128, height=128, max_tiles_per_splat=64,
+                           reference_boundary_quirk=False)
+    P, gx = 64, cfg.tile_dims[0]
+    rng = np.random.default_rng(3)
+    x0 = rng.integers(0, gx - 4, P)
+    y0 = rng.integers(0, gx - 4, P)
+    rect = np.stack([x0, y0, x0 + 4, y0 + 4], 1).astype(np.int32)
+    num_tiles = np.full((P,), 16, np.int32)
+    depth16 = rng.integers(0, 0xFFFE, P).astype(np.uint32)
+    valid = np.ones((P,), bool)
+
+    # capacity for only half the pairs -> the LAST splats' pairs drop
+    cap = P * 16 // 2
+    sp = emit_and_sort(jnp.asarray(valid), jnp.asarray(rect),
+                       jnp.asarray(num_tiles), jnp.asarray(depth16), cfg,
+                       capacity=cap)
+    keys = np.asarray(sp.keys)
+    vals = np.asarray(sp.values)
+    live = keys != INVALID_KEY
+    assert live.sum() == cap                      # buffer exactly full
+    # surviving pairs = precisely the pairs of the first P/2 splats
+    surv = np.sort(vals[live])
+    expect = np.repeat(np.arange(P // 2), 16)
+    np.testing.assert_array_equal(surv, expect)
+    # every surviving pair count per tile matches a direct emission of the
+    # first-half splats (no tile blanked by sorted-order truncation)
+    sp_half = emit_and_sort(jnp.asarray(valid[:P // 2]),
+                            jnp.asarray(rect[:P // 2]),
+                            jnp.asarray(num_tiles[:P // 2]),
+                            jnp.asarray(depth16[:P // 2]), cfg,
+                            capacity=cap)
+    np.testing.assert_array_equal(keys, np.asarray(sp_half.keys))
