@@ -38,7 +38,7 @@ def main():
     from bench_v3 import get_cloud, measure
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 5_800_000
-    cfg = gs.RasterizerConfig(width=1920, height=1080, quality="fast")
+    cfg = gs.RasterizerConfig(width=1920, height=1080).fast_defaults()
     print(f"{n} splats, {cfg.tile_dims} tiles,",
           jax.default_backend(), flush=True)
     cloud = get_cloud(n)
