@@ -24,11 +24,14 @@ import numpy as np
 import os as _os
 
 BLOCK_SIZE = 128    # splats per block (tight rects vs DMA efficiency)
-# Splats re-clustered together per frame (128 blocks at the default).
+# Splats re-clustered together per frame (64 blocks at the default).
 # GS_SUPERBLOCK is a sweep-only import-time override for device A/Bs of the
 # stage-1 sort width (bitonic stage count scales with log2(width)); the
-# shipped value is the measured choice. Must divide PAD_MULTIPLE (16384).
-SUPERBLOCK = int(_os.environ.get("GS_SUPERBLOCK", "16384"))
+# shipped value is the measured choice: 8192 beat 16384 by 1.9 ms/frame at
+# the 5.8M/1080p headline (65.9 vs 67.8 ms, round 5 — fewer bitonic merge
+# stages; clustering quality is unchanged because a superblock spans many
+# screen cells either way). 32768 does not divide the 16384 pad multiple.
+SUPERBLOCK = int(_os.environ.get("GS_SUPERBLOCK", "8192"))
 CELL_SHIFT = 1      # screen-cluster cell edge in tiles = 2^CELL_SHIFT
 BIG_RADIUS = 32.0   # px; splats at least this wide are extracted into the
                     # per-tile big-lane lists (ops/bigbin.py)
