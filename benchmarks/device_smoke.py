@@ -80,6 +80,26 @@ def main():
         fails.append(f"fused vs staged differ: max diff "
                      f"{np.abs(img3 - np.asarray(img_st)).max():.3e}")
 
+    # Mosaic-lowered transcendental accuracy (round-4 ADVICE): CPU
+    # interpret tests cover the XLA-simplifier path only; on hardware the
+    # lowp path runs jnp.exp/log1p through Mosaic's VPU transcendental
+    # lowering with bf16 la accumulators. Demand the lowp image stays
+    # within quantization distance of the f32-accumulator image — a
+    # lowering regression (wrong rounding mode, cancellation) craters this.
+    from godotgaussiansplatting_tpu.ops.render_pallas3 import render_tiles_v3
+    t_lo = np.asarray(jax.jit(
+        lambda p, bn, bg, h: render_tiles_v3(p, bn, bg, h, cfg, lowp=True)
+    )(bf.payload, bins, tbg, uni.heatmap_factor))
+    t_hi = np.asarray(jax.jit(
+        lambda p, bn, bg, h: render_tiles_v3(p, bn, bg, h, cfg, lowp=False)
+    )(bf.payload, bins, tbg, uni.heatmap_factor))
+    mse = float(((t_lo - t_hi) ** 2).mean())
+    psnr = 10 * np.log10(max(float(np.abs(t_hi).max()), 1.0) ** 2
+                         / max(mse, 1e-12))
+    print(f"lowp vs f32-accum PSNR {psnr:.1f} dB (gate 55)")
+    if psnr < 55.0:
+        fails.append(f"Mosaic lowp transcendental accuracy: {psnr:.1f} dB")
+
     live = float(np.abs(img3[:3]).sum())
     print(f"image mass {live:.1f} (must be > 0: {live > 0})")
     if live == 0.0:

@@ -42,6 +42,14 @@ class TileBigs(NamedTuple):
                             # payloads, front-to-back; dead lanes sanitized
     tile_nbig: jnp.ndarray  # (TG,) i32 per-group live lane count
     overflow: jnp.ndarray   # () i32 group-lane pairs dropped by caps
+    big_prefix: jnp.ndarray  # (TG, 128) i32 inclusive prefix count of live
+                            # lanes over 128 depth16 buckets (depth >> 9) —
+                            # the render kernel's straddle gate reads
+                            # prefix[bmax>>9] - prefix[bmin>>9 - 1] to fire
+                            # the exact-exchange matmuls only when a big
+                            # lane actually lands in a chain batch's depth
+                            # range (the old per-tile 32-bucket occupancy
+                            # mask fired near-always at headline density)
 
 
 def bin_bigs(
@@ -148,8 +156,16 @@ def bin_bigs(
         jnp.float32)
     tp = jnp.where(hit_t[:, None, :], tp, dead[None, :, None])
 
+    # per-group depth-bucket histogram -> inclusive prefix (see TileBigs)
+    d_i = jnp.clip(tp[:, 12, :], 0.0, 65535.0).astype(jnp.int32) >> 9
+    bkt = jax.lax.broadcasted_iota(jnp.int32, (1, 128, 1), 1)
+    hist = jnp.sum((d_i[:, None, :] == bkt) & hit_t[:, None, :],
+                   axis=2).astype(jnp.int32)                   # (TG, 128)
+    prefix = jnp.cumsum(hist, axis=1)
+
     return TileBigs(
         bigpay=tp,
         tile_nbig=to_tiles(nbig),
         overflow=(over_l1 + over_l2).astype(jnp.int32),
+        big_prefix=prefix,
     )

@@ -366,6 +366,9 @@ def _render_kernel_v3(
             pixf_cat, jnp.concatenate(parts, axis=0),
             (((1,), (0,)), ((), ())),
             preferred_element_type=f32)
+        if "xexp" in ablate:   # ablation: eval matmul infra without the
+            alpha = jnp.minimum(P * 1e-4 + 0.005, ALPHA_MAX)  # transcendentals
+            return alpha, -alpha
         alpha = jnp.minimum(k_exp(P), ALPHA_MAX)
         la = k_ln1m(alpha)
         return alpha, la
@@ -398,20 +401,10 @@ def _render_kernel_v3(
         big_w[...] = ((d_i << 16) | ((i_row >> 7) & 0xFFFF)) ^ jnp.int32(
             -0x80000000)
         cols_v[:, 6:7] = jnp.sum(lac.astype(f32), axis=1, keepdims=True)
-        # 32-bucket depth-occupancy bitmask: the per-batch straddle gate
-        # tests it with pure scalar ops — a jnp.any() per batch syncs the
-        # scalar core with the VPU every iteration
-        bucket = jnp.where(d_row < 0.5 * DEPTH_INVALID,
-                           (d_row * (1.0 / 2048.0)).astype(jnp.int32),
-                           -1)                                  # (1, OBIG)
-        biot = jax.lax.broadcasted_iota(jnp.int32, (32, obig), 0)
-        hit_b = jnp.max(jnp.where(biot == bucket, 1, 0), axis=1,
-                        keepdims=True)                          # (32, 1)
-        b32 = jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0)
-        pw2 = jnp.left_shift(jnp.ones((32, 1), jnp.int32),
-                             jnp.bitwise_and(b32, 15))
-        meta[2] = jnp.sum(jnp.where(b32 < 16, hit_b * pw2, 0))
-        meta[3] = jnp.sum(jnp.where(b32 >= 16, hit_b * pw2, 0))
+        # (the straddle gate reads the per-group depth-bucket PREFIX row —
+        # header row 5, built in bin_bigs — with two scalar SMEM reads per
+        # batch; the old in-kernel 32-bucket occupancy mask fired
+        # near-always at headline density and cost ~40 vector ops per tile)
 
     # --- chain batch ring (shared by the group's tiles; each tile drains
     # before the next starts, and its batch 0 is prefetched from the
@@ -449,7 +442,10 @@ def _render_kernel_v3(
         (NPX, US) pend_z for per-pixel-uniform terms."""
         if zc is not None:
             z = z + zc
-        if al is not None:
+        if "xemit" in ablate:   # ablation: emission without its exp
+            w = (z * 1e-4 + (al if al is not None
+                             else -la_b).astype(f32)).astype(bf16)
+        elif al is not None:
             w = (k_exp(z) * al.astype(f32)).astype(bf16)
         else:
             laf = la_b.astype(f32)
@@ -524,20 +520,17 @@ def _render_kernel_v3(
             bminf = bmin.astype(f32)
             bmaxf = bmax.astype(f32)
             d_big = big_d[...]
-            # scalar straddle gate via the per-group bucket mask
-            # (conservative: bucket granularity can fire the exact matmul
-            # path spuriously, never the reverse)
-            b0 = jnp.clip(bmin >> 11, 0, 31)
-            b1 = jnp.clip(bmax >> 11, 0, 31)
-
-            def wmask(w):
-                lo_b = jnp.clip(b0 - 16 * w, 0, 16)
-                hi_b = jnp.clip(b1 + 1 - 16 * w, 0, 16)
-                return (jnp.left_shift(jnp.int32(1), hi_b)
-                        - jnp.left_shift(jnp.int32(1), lo_b))
-
-            strad = has_big & (bmax >= bmin) & (
-                ((meta[2] & wmask(0)) | (meta[3] & wmask(1))) != 0)
+            # scalar straddle gate off the big depth-bucket PREFIX (header
+            # row 5, 512-depth16 buckets): live lanes in [bmin, bmax]'s
+            # bucket span = prefix[b1] - prefix[b0 - 1]. Conservative:
+            # bucket granularity can fire the exact matmul path spuriously,
+            # never the reverse — results are bit-identical either way.
+            b0 = jnp.clip(bmin >> 9, 0, 127)
+            b1 = jnp.clip(bmax >> 9, 0, 127)
+            n_hi = row_smem[slot_r, 5, b1]
+            n_lo = jnp.where(b0 > 0,
+                             row_smem[slot_r, 5, jnp.maximum(b0 - 1, 0)], 0)
+            strad = has_big & (bmax >= bmin) & (n_hi - n_lo != 0)
             if "bigx" in ablate:
                 strad = strad & (nb < 0)
                 has_big_x = has_big & (nb < 0)
@@ -725,12 +718,15 @@ def _render_kernel_v3(
 
 def pack_tile_rows_v3(tile_blocks, tile_nblocks, tile_nbig, tile_minmax,
                       tile_candidates, heatmap_factor, cfg,
-                      pixel_offset_y=0):
+                      pixel_offset_y=0, tile_big_prefix=None):
     """Tile lists -> (TG, GROUP*8, 128) i32 group rows. Per tile g the 8-row
     section holds row0 = [nb, cand, hm16.16, y_off, nbig(group; tile 0
-    only)], rows 1-2 = block ids, rows 3-4 = minmax, rows 5-7 spare
-    (feature centers ride payload rows 14/15). Tiles padding gx up to a
-    GROUP multiple get nb = 0."""
+    only)], rows 1-2 = block ids, rows 3-4 = minmax, row 5 (tile 0 only) =
+    the group's big depth-bucket prefix (TileBigs.big_prefix; when absent
+    an iota+1 fallback makes the straddle gate fire on every batch — the
+    conservative always-exact path), rows 6-7 spare (feature centers ride
+    payload rows 14/15). Tiles padding gx up to a GROUP multiple get
+    nb = 0."""
     gx, gy = cfg.tile_dims
     T, C2 = tile_blocks.shape
     assert T == gx * gy and C2 <= 256
@@ -763,6 +759,10 @@ def pack_tile_rows_v3(tile_blocks, tile_nblocks, tile_nbig, tile_minmax,
     rows = rows.reshape(TG, GROUP, 8, 128)
     # group big count rides tile 0's header slot 4
     rows = rows.at[:, 0, 0, 4].set(tile_nbig.astype(jnp.int32))
+    if tile_big_prefix is None:   # conservative fallback: gate always fires
+        tile_big_prefix = jnp.broadcast_to(
+            jnp.arange(1, 129, dtype=jnp.int32)[None], (rows.shape[0], 128))
+    rows = rows.at[:, 0, 5, :].set(tile_big_prefix.astype(jnp.int32))
     return rows.reshape(TG, GROUP * 8, 128)
 
 
@@ -887,7 +887,9 @@ def render_tiles_v3(
     rows = pack_tile_rows_v3(bins.tile_blocks, bins.tile_nblocks,
                              tile_bigs.tile_nbig, bins.tile_minmax,
                              bins.tile_candidates,
-                             heatmap_factor, cfg, pixel_offset_y)
+                             heatmap_factor, cfg, pixel_offset_y,
+                             tile_big_prefix=getattr(tile_bigs, "big_prefix",
+                                                     None))
     US = Un * BLOCK_SIZE
     kern = functools.partial(
         _render_kernel_v3, gx2=gx2, tile_size=cfg.tile_size, num_groups=TG,

@@ -242,25 +242,16 @@ def _render_kernel_v4(
         big_d[...] = d_row
         big_w[...] = ((d_i << 16) | ((i_row >> 7) & 0xFFFF)) ^ jnp.int32(
             -0x80000000)
-        # per-tile big totals + 32-bucket occupancy masks
-        bseg = jax.lax.broadcasted_iota(jnp.int32, (1, GTOB), 1) // obig
+        # per-tile big totals
         lacf = lac.astype(f32)
         for g in range(GT):
             bsl = slice(g * obig, (g + 1) * obig)
             tvals[:, GT + g:GT + g + 1] = jnp.sum(
                 lacf[:, bsl], axis=1, keepdims=True)
-        bucket = jnp.where(d_row < 0.5 * DEPTH_INVALID,
-                           (d_row * (1.0 / 2048.0)).astype(jnp.int32), -1)
-        for g in range(GT):
-            bk_g = jnp.where(bseg == g, bucket, -1)          # (1, GTOB)
-            biot = jax.lax.broadcasted_iota(jnp.int32, (32, GTOB), 0)
-            hit_b = jnp.max(jnp.where(biot == bk_g, 1, 0), axis=1,
-                            keepdims=True)                   # (32, 1)
-            b32 = jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0)
-            pw2 = jnp.left_shift(jnp.ones((32, 1), jnp.int32),
-                                 jnp.bitwise_and(b32, 15))
-            meta[5 * g + 2] = jnp.sum(jnp.where(b32 < 16, hit_b * pw2, 0))
-            meta[5 * g + 3] = jnp.sum(jnp.where(b32 >= 16, hit_b * pw2, 0))
+        # (straddle gates read each tile's big depth-bucket PREFIX — header
+        # row 5, built in bin_bigs — with scalar SMEM reads per batch; the
+        # old 32-bucket occupancy masks fired near-always at headline
+        # density. Classification matches v3 exactly, preserving bit parity)
 
     # --- chain stream ---------------------------------------------------------
     def start_batch(k, slot_idx):
@@ -361,19 +352,17 @@ def _render_kernel_v4(
             pend_z[sc, :, sl] = cums_g
             pend_c[sc, :, g:g + 1] = tvals[:, g:g + 1]
 
-            # chain <-> big exchange (per-tile, v3 semantics)
-            b0 = jnp.clip(bmin >> 11, 0, 31)
-            b1 = jnp.clip(bmax >> 11, 0, 31)
-
-            def wmask(w, b0=b0, b1=b1):
-                lo_b = jnp.clip(b0 - 16 * w, 0, 16)
-                hi_b = jnp.clip(b1 + 1 - 16 * w, 0, 16)
-                return (jnp.left_shift(jnp.int32(1), hi_b)
-                        - jnp.left_shift(jnp.int32(1), lo_b))
-
+            # chain <-> big exchange (per-tile, v3 semantics); straddle
+            # gate off the per-tile big depth-bucket PREFIX (header row 5,
+            # 512-depth16 buckets — identical classification to v3)
+            b0 = jnp.clip(bmin >> 9, 0, 127)
+            b1 = jnp.clip(bmax >> 9, 0, 127)
+            n_hi = row_smem[slot_r, g * 8 + 5, b1]
+            n_lo = jnp.where(
+                b0 > 0, row_smem[slot_r, g * 8 + 5,
+                                 jnp.maximum(b0 - 1, 0)], 0)
             strad = live_g & has_big[g] & (bmax >= bmin) & (
-                ((meta[5 * g + 2] & wmask(0))
-                 | (meta[5 * g + 3] & wmask(1))) != 0)
+                n_hi - n_lo != 0)
             if "bigx" in ablate:
                 strad = strad & (nb[g] < 0)
                 has_big_x = has_big[g] & (nb[g] < 0)
