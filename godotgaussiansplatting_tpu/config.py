@@ -127,6 +127,15 @@ class RasterizerConfig:
     # packing helpers; fp reassociation only). Static knob: changing it
     # re-traces.
     projection_kernel: bool = False
+    # Fast path: ship the render kernel the (B, 8, S) u32 SORTED-WORD image
+    # instead of the cooked (B, 16, S) f32 payload; the kernel unpacks
+    # (integer-only f16 / rgb9e5 / bf16-pair) and evaluates power features
+    # in-kernel per PROCESSED block (early exit leaves ~7% of binned blocks
+    # live at the headline — XLA cooked every block plus a 372 MB/frame
+    # payload write). Block meta and pair stats are bit-identical across
+    # modes; pixels differ only by fp association in the feature math.
+    # v3 kernel only. Static knob: changing it re-traces.
+    words_payload: bool = False
 
     @property
     def target_size(self) -> Tuple[int, int]:

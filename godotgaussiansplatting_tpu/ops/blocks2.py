@@ -312,7 +312,8 @@ def _build_big_set(ops, ok, depth16, residual, gx, gy, ts):
 
 def build_block_frame2(prj: ProjectedSplats, cfg: RasterizerConfig,
                        num_splats: int | None = None,
-                       big_cap: int | None = None):
+                       big_cap: int | None = None,
+                       words_payload: bool = False):
     """ProjectedSplats (padded P = B*S splats, Morton order) ->
     (BlockFrame2, BigSet).
 
@@ -453,17 +454,27 @@ def build_block_frame2(prj: ProjectedSplats, cfg: RasterizerConfig,
                           dimension=1, num_keys=1, is_stable=True)
 
     frame = _frame_from_stage1(
-        s1, B, S, cfg, jnp.sum(prj.num_tiles).astype(jnp.int32))
+        s1, B, S, cfg, jnp.sum(prj.num_tiles).astype(jnp.int32),
+        words=words_payload)
     return frame, bigs
 
 
 def _frame_from_stage1(s1, B: int, S: int, cfg: RasterizerConfig,
-                       num_culled_pairs) -> BlockFrame2:
+                       num_culled_pairs, words: bool = False) -> BlockFrame2:
     """Stage-1-sorted operand rows -> BlockFrame2 (blocks cut from the
     sorted order, MXU power features, rects, bitmaps, depth ranges).
 
     s1: 7-tuple of sorted u32 arrays (key, ix bits, iy bits, f16(ca|cb),
-    f16(cc|op), rgb9e5, source idx), any row shape reshapeable to (B, S)."""
+    f16(cc|op), rgb9e5, source idx), any row shape reshapeable to (B, S).
+
+    words=True: skip the 16-row f32 payload cook — the payload becomes the
+    (B, 8, S) u32 WORD image [key, ix, iy, pc1, pc2, rgb9e5, idx,
+    rx|ry bf16 pair] and the render kernel unpacks + evaluates features
+    in-kernel, per PROCESSED block only (early exit leaves ~7% of binned
+    blocks live at the 5.8M/1080p headline, so cooking every block in XLA
+    wastes ~14x the feature work plus a 372 MB/frame payload write). Block
+    meta (rect, bitmap, depth range, num_valid) is bit-identical across
+    modes."""
     gx, gy = cfg.tile_dims
     ts = float(cfg.tile_size)
     inf = jnp.uint32(0xFFFFFFFF)
@@ -486,59 +497,70 @@ def _frame_from_stage1(s1, B: int, S: int, cfg: RasterizerConfig,
     # (no extra sort operand)
     rx, ry = extents_from_conic(ca, cb, cc, op)
 
-    # --- per-block center + MXU power features ------------------------------
     nv = jnp.sum(valid, axis=1).astype(jnp.int32)
-    nv_safe = jnp.maximum(nv, 1).astype(jnp.float32)
-    ix_v = jnp.where(valid, ix, 0.0)
-    iy_v = jnp.where(valid, iy, 0.0)
-    bcx = jnp.clip(jnp.round(jnp.sum(ix_v, axis=1) / nv_safe),
-                   0.0, 16383.0)                               # (B,)
-    bcy = jnp.clip(jnp.round(jnp.sum(iy_v, axis=1) / nv_safe), 0.0, 16383.0)
-    ixr = ix - bcx[:, None]
-    iyr = iy - bcy[:, None]
-
-    # ln(opacity), clamped so alpha = exp(power) stays strictly below 1:
-    # log1p(-alpha) in the render kernel is then always finite. The 1e-3
-    # clamp deviates from the reference by <=0.1% opacity for fully opaque
-    # splats (the reference itself has no alpha clamp, gsplat_render.glsl:86).
-    ln_op = jnp.minimum(jnp.log(jnp.maximum(op, 1e-37)), -1e-3)
-
-    f0q = -0.5 * (ca * ixr * ixr + cc * iyr * iyr) - cb * ixr * iyr
-    f0 = jnp.where(valid, f0q + ln_op, GATE_OFF)
-    f1 = jnp.where(valid, ca * ixr + cb * iyr, 0.0)
-    f2 = jnp.where(valid, cc * iyr + cb * ixr, 0.0)
-    f3 = jnp.where(valid, -0.5 * ca, 0.0)
-    f4 = jnp.where(valid, -0.5 * cc, 0.0)
-    f5 = jnp.where(valid, -cb, 0.0)
-
     ix_p = jnp.where(valid, ix, _CULL_FAR)
     iy_p = jnp.where(valid, iy, _CULL_FAR)
     rx_p = jnp.where(valid, rx, 0.0)
     ry_p = jnp.where(valid, ry, 0.0)
-    # row 12: PACKED ORDER RANK (depth16 << 16 | idx >> 7, sign-flipped for
-    # signed compare), precomputed here so the render kernel's ordering
-    # masks read it with one bitcast instead of rebuilding it per batch.
-    # Invalid lanes carry depth16 0xFFFF -> maximal rank (ordering-inert;
-    # their mass is zero via f0 = GATE_OFF anyway).
-    rank = ((depth_b.astype(jnp.int32) << 16)
-            | ((idx_s.astype(jnp.int32) >> 7) & 0xFFFF)) ^ jnp.int32(
-                -0x80000000)
-    w12 = jax.lax.bitcast_convert_type(rank, jnp.float32)
-    idx_f = jax.lax.bitcast_convert_type(idx_s, jnp.float32)
 
-    # rows 14/15: the feature center, broadcast per lane (the render kernel
-    # re-centers features to the tile origin from these, uniformly for chain
-    # blocks and per-lane-centered big lanes)
-    bcx_l = jnp.broadcast_to(bcx[:, None], (B, S))
-    bcy_l = jnp.broadcast_to(bcy[:, None], (B, S))
+    if words:
+        u32b = lambda a: jax.lax.bitcast_convert_type(  # noqa: E731
+            a, jnp.uint32)
+        payload = jnp.stack(
+            [blk(s1[0]), blk(s1[1]), blk(s1[2]), blk(s1[3]), blk(s1[4]),
+             blk(s1[5]), blk(s1[6]), u32b(_pack_bf16_pair(rx_p, ry_p))],
+            axis=1)                                            # (B, 8, S) u32
+    else:
+        # --- per-block center + MXU power features --------------------------
+        nv_safe = jnp.maximum(nv, 1).astype(jnp.float32)
+        ix_v = jnp.where(valid, ix, 0.0)
+        iy_v = jnp.where(valid, iy, 0.0)
+        bcx = jnp.clip(jnp.round(jnp.sum(ix_v, axis=1) / nv_safe),
+                       0.0, 16383.0)                           # (B,)
+        bcy = jnp.clip(jnp.round(jnp.sum(iy_v, axis=1) / nv_safe),
+                       0.0, 16383.0)
+        ixr = ix - bcx[:, None]
+        iyr = iy - bcy[:, None]
 
-    payload = jnp.stack([
-        f0, f1, f2, f3, f4, f5,
-        jnp.where(valid, r, 0.0), jnp.where(valid, g, 0.0),
-        jnp.where(valid, b, 0.0),
-        ix_p, iy_p, _pack_bf16_pair(rx_p, ry_p), w12, idx_f,
-        bcx_l, bcy_l,
-    ], axis=1)                                                 # (B, 16, S)
+        # ln(opacity), clamped so alpha = exp(power) stays strictly below 1:
+        # log1p(-alpha) in the render kernel is then always finite. The 1e-3
+        # clamp deviates from the reference by <=0.1% opacity for fully
+        # opaque splats (the reference itself has no alpha clamp,
+        # gsplat_render.glsl:86).
+        ln_op = jnp.minimum(jnp.log(jnp.maximum(op, 1e-37)), -1e-3)
+
+        f0q = -0.5 * (ca * ixr * ixr + cc * iyr * iyr) - cb * ixr * iyr
+        f0 = jnp.where(valid, f0q + ln_op, GATE_OFF)
+        f1 = jnp.where(valid, ca * ixr + cb * iyr, 0.0)
+        f2 = jnp.where(valid, cc * iyr + cb * ixr, 0.0)
+        f3 = jnp.where(valid, -0.5 * ca, 0.0)
+        f4 = jnp.where(valid, -0.5 * cc, 0.0)
+        f5 = jnp.where(valid, -cb, 0.0)
+
+        # row 12: PACKED ORDER RANK (depth16 << 16 | idx >> 7, sign-flipped
+        # for signed compare), precomputed here so the render kernel's
+        # ordering masks read it with one bitcast instead of rebuilding it
+        # per batch. Invalid lanes carry depth16 0xFFFF -> maximal rank
+        # (ordering-inert; their mass is zero via f0 = GATE_OFF anyway).
+        rank = ((depth_b.astype(jnp.int32) << 16)
+                | ((idx_s.astype(jnp.int32) >> 7) & 0xFFFF)) ^ jnp.int32(
+                    -0x80000000)
+        w12 = jax.lax.bitcast_convert_type(rank, jnp.float32)
+        idx_f = jax.lax.bitcast_convert_type(idx_s, jnp.float32)
+
+        # rows 14/15: the feature center, broadcast per lane (the render
+        # kernel re-centers features to the tile origin from these,
+        # uniformly for chain blocks and per-lane-centered big lanes)
+        bcx_l = jnp.broadcast_to(bcx[:, None], (B, S))
+        bcy_l = jnp.broadcast_to(bcy[:, None], (B, S))
+
+        payload = jnp.stack([
+            f0, f1, f2, f3, f4, f5,
+            jnp.where(valid, r, 0.0), jnp.where(valid, g, 0.0),
+            jnp.where(valid, b, 0.0),
+            ix_p, iy_p, _pack_bf16_pair(rx_p, ry_p), w12, idx_f,
+            bcx_l, bcy_l,
+        ], axis=1)                                             # (B, 16, S)
 
     # --- block tile rect / coverage bitmap / depth range --------------------
     gxf, gyf = jnp.float32(gx), jnp.float32(gy)
@@ -595,7 +617,8 @@ def _frame_from_stage1(s1, B: int, S: int, cfg: RasterizerConfig,
 
 def build_block_frame2_words(words, cfg: RasterizerConfig,
                              num_splats: int | None = None,
-                             big_cap: int | None = None):
+                             big_cap: int | None = None,
+                             words_payload: bool = False):
     """Fused-projection outputs (ops/projection_pallas.ProjWords) ->
     (BlockFrame2, BigSet). Same semantics as build_block_frame2: the
     kernel already performed the Phase-A per-splat packing (f16 conic
@@ -652,4 +675,5 @@ def build_block_frame2_words(words, cfg: RasterizerConfig,
         (key, srows(words.ix), srows(words.iy), srows(words.pc1),
          srows(words.pc2), srows(words.rgb9), idx.reshape(SB, sb_size)),
         dimension=1, num_keys=1, is_stable=True)
-    return _frame_from_stage1(s1, B, S, cfg, nt_total), bigs
+    return _frame_from_stage1(s1, B, S, cfg, nt_total,
+                              words=words_payload), bigs

@@ -74,6 +74,7 @@ def render_frame_fast(
             num_splats=cloud.num_splats, interpret=interpret)
         words = type(words)(*jax.lax.optimization_barrier(tuple(words)))
         bf, bigs = build_block_frame2_words(words, cfg,
+                                            words_payload=cfg.words_payload,
                                             big_cap=cfg.big_capacity)
     else:
         prj = project_splats(
@@ -88,6 +89,7 @@ def render_frame_fast(
         prj = _slim_projection(prj)
         prj = type(prj)(*jax.lax.optimization_barrier(tuple(prj)))
         bf, bigs = build_block_frame2(prj, cfg, num_splats=cloud.num_splats,
+                                      words_payload=cfg.words_payload,
                                       big_cap=cfg.big_capacity)
     bf = type(bf)(*jax.lax.optimization_barrier(tuple(bf)))
     bigs = type(bigs)(*jax.lax.optimization_barrier(tuple(bigs)))
@@ -99,6 +101,10 @@ def render_frame_fast(
     tile_bigs = type(tile_bigs)(*jax.lax.optimization_barrier(
         tuple(tile_bigs)))
     if cfg.kernel == "v4":
+        if cfg.words_payload:
+            raise ValueError(
+                "words_payload is a v3-kernel feature (the lockstep v4 "
+                "kernel still reads the cooked 16-row payload)")
         from .render_pallas4 import assemble_image_v4, render_tiles_v4
         tiles = render_tiles_v4(
             bf.payload, bins, tile_bigs, uniforms.heatmap_factor, cfg,
@@ -157,8 +163,10 @@ def _stage_project(cloud, uniforms, cfg, num_splats=None):
 @functools.partial(jax.jit, static_argnames=("cfg", "num_splats"))
 def _stage_blocks(prj, cfg, num_splats=None):
     if cfg.projection_kernel:
-        return build_block_frame2_words(prj, cfg, big_cap=cfg.big_capacity)
+        return build_block_frame2_words(prj, cfg, big_cap=cfg.big_capacity,
+                                        words_payload=cfg.words_payload)
     return build_block_frame2(prj, cfg, num_splats=num_splats,
+                              words_payload=cfg.words_payload,
                               big_cap=cfg.big_capacity)
 
 
@@ -174,6 +182,10 @@ def _stage_bin(bf, bigs, cfg, supertile_cap, tile_cap, obig):
 def _stage_render(bf, bins, tile_bigs, heatmap_factor, cfg, early_exit,
                   lowp):
     if cfg.kernel == "v4":
+        if cfg.words_payload:
+            raise ValueError(
+                "words_payload is a v3-kernel feature (the lockstep v4 "
+                "kernel still reads the cooked 16-row payload)")
         from .render_pallas4 import assemble_image_v4, render_tiles_v4
         tiles = render_tiles_v4(bf.payload, bins, tile_bigs,
                                 heatmap_factor, cfg,
@@ -244,27 +256,44 @@ def _pick_fast(frame: FastFrameOutput, tile_id, means, model_scale, cfg):
     gx2 = -(-gx // GROUP)
     gid = (tile_id // gx) * gx2 + (tile_id % gx) // GROUP
     bigp = frame.tile_bigpay[gid]                           # (16, OBIG)
-    ix = jnp.concatenate([pays[:, 9].reshape(-1), bigp[9]])
-    iy = jnp.concatenate([pays[:, 10].reshape(-1), bigp[10]])
-    rw = jax.lax.bitcast_convert_type(
-        jnp.concatenate([pays[:, 11].reshape(-1), bigp[11]]), jnp.uint32)
+    if frame.payload.dtype == jnp.uint32:
+        # words payload (cfg.words_payload): [key, ix, iy, pc1, pc2, rgb9,
+        # idx, rx|ry] u32 rows — same quantities, different homes
+        f32b = lambda w: jax.lax.bitcast_convert_type(  # noqa: E731
+            w, jnp.float32)
+        ix_c = f32b(pays[:, 1].reshape(-1))
+        iy_c = f32b(pays[:, 2].reshape(-1))
+        rw_c = pays[:, 7].reshape(-1)
+        d_chain = (pays[:, 0].reshape(-1) & 0xFFFF).astype(jnp.float32)
+        idx_c = pays[:, 6].reshape(-1)
+    else:
+        ix_c = pays[:, 9].reshape(-1)
+        iy_c = pays[:, 10].reshape(-1)
+        rw_c = jax.lax.bitcast_convert_type(pays[:, 11].reshape(-1),
+                                            jnp.uint32)
+        # chain row 12 is the packed order rank (ops/blocks2.py layout)
+        wch = jax.lax.bitcast_convert_type(
+            pays[:, 12].reshape(-1), jnp.uint32) ^ jnp.uint32(0x80000000)
+        d_chain = (wch >> 16).astype(jnp.float32)
+        idx_c = jax.lax.bitcast_convert_type(pays[:, 13].reshape(-1),
+                                             jnp.uint32)
+    ix = jnp.concatenate([ix_c, bigp[9]])
+    iy = jnp.concatenate([iy_c, bigp[10]])
+    rw = jnp.concatenate(
+        [rw_c, jax.lax.bitcast_convert_type(bigp[11], jnp.uint32)])
     rx = jax.lax.bitcast_convert_type(
         (rw & 0xFFFF).astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32)
     ry = jax.lax.bitcast_convert_type(
         (rw >> 16).astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32)
-    # chain row 12 is the packed order rank (ops/blocks2.py payload layout);
-    # big tables keep plain depth16-as-f32. Decode both to f32 depth16 with
+    # big tables keep plain depth16-as-f32; decode both to f32 depth16 with
     # 0xFFFF as the invalid sentinel.
-    wch = jax.lax.bitcast_convert_type(
-        pays[:, 12].reshape(-1), jnp.uint32) ^ jnp.uint32(0x80000000)
-    d_chain = (wch >> 16).astype(jnp.float32)
     d_chain = jnp.where(d_chain >= 65535.0, DEPTH_INVALID, d_chain)
     d_big = jnp.where(bigp[12] >= 65535.0, DEPTH_INVALID, bigp[12])
     depth = jnp.concatenate([d_chain, d_big])
-    idx = jax.lax.bitcast_convert_type(
-        jnp.concatenate([pays[:, 13].reshape(-1), bigp[13]]), jnp.uint32)
+    idx = jnp.concatenate(
+        [idx_c, jax.lax.bitcast_convert_type(bigp[13], jnp.uint32)])
     lane_ok = jnp.concatenate([
-        jnp.broadcast_to(entry_ok[:, None], pays[:, 12].shape).reshape(-1),
+        jnp.broadcast_to(entry_ok[:, None], pays[:, 0].shape).reshape(-1),
         jnp.ones((bigp.shape[1],), bool)])
     tx = (tile_id % gx).astype(jnp.float32) * ts
     ty = (tile_id // gx).astype(jnp.float32) * ts

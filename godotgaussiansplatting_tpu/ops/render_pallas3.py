@@ -142,6 +142,39 @@ def default_batch_u(tile_size: int) -> int:
     return max(1, (BATCH_LANES // BLOCK_SIZE) // max(1, (tile_size // 16) ** 2))
 
 
+def _f16_word_to_f32(h):
+    """IEEE binary16 bits (u32, low 16) -> exact f32 value.
+
+    Inverse of projection_pallas._f16_bits, integer-only (Mosaic has no f16
+    cast on v5e): significand as an exact small int -> f32 convert, times a
+    bit-built power-of-two scale — both exact, so the product is the f16
+    value bit-for-bit as jnp's float16->float32 cast gives it (finite
+    inputs; conic/opacity packing never produces inf/nan — blocks2._pack_f16
+    range note)."""
+    i32, u32, f32 = jnp.int32, jnp.uint32, jnp.float32
+    e = ((h >> 10) & 0x1F).astype(i32)
+    m = (h & 0x3FF).astype(i32)
+    sig = jnp.where(e > 0, m | 0x400, m).astype(f32)     # [0, 2047] exact
+    sexp = jnp.where(e > 0, e - 25, -24) + 127           # 2^(e-25) / 2^-24
+    scale = jax.lax.bitcast_convert_type(sexp << 23, f32)
+    mag = sig * scale
+    bits = jax.lax.bitcast_convert_type(mag, u32) | ((h & u32(0x8000)) << 16)
+    return jax.lax.bitcast_convert_type(bits, f32)
+
+
+def _rgb9e5_word_to_f32(w):
+    """rgb9e5 u32 -> (r, g, b) f32, matching blocks2._unpack_rgb9e5 exactly
+    (the exp2 there is a power of two; built here with integer bit ops)."""
+    i32, f32 = jnp.int32, jnp.float32
+    e = ((w >> 27) & 0x1F).astype(i32) - 15
+    scale = jax.lax.bitcast_convert_type((e - 9 + 127) << 23, f32)
+
+    def d(sh):
+        return ((w >> sh) & 0x1FF).astype(i32).astype(f32) * scale
+
+    return d(0), d(9), d(18)
+
+
 def _render_kernel_v3(
     rows_hbm,        # (TG, G*8, 128) i32 ANY — packed per-group tile rows
     payload_hbm,     # (B, PW, S) f32 ANY — per-block chain payload
@@ -187,7 +220,7 @@ def _render_kernel_v3(
     bigla_sems,      # DMA sems (2,)
     *, gx2: int, tile_size: int, num_groups: int, early_exit: bool,
     lowp: bool, max_batches: int, obig: int, U: int, slab_u: int = 0,
-    ablate: str = "",
+    ablate: str = "", words: bool = False,
 ):
     S = BLOCK_SIZE
     US = U * S
@@ -234,7 +267,7 @@ def _render_kernel_v3(
         # batch matmuls before any DMA ever wrote them (gated to zero mass,
         # but uninitialized VMEM can hold NaN/Inf bit patterns that defeat
         # the additive gate). Later tiles overwrite with bounded payloads.
-        pay_vmem[...] = jnp.zeros((2, PAYLOAD_WIDTH, US), f32)
+        pay_vmem[...] = jnp.zeros(pay_vmem.shape, pay_vmem.dtype)
         pltpu.make_async_copy(rows_hbm.at[0], row_smem.at[0],
                               row_sems.at[0]).start()
         if "nobigdma" not in ablate:
@@ -301,6 +334,49 @@ def _render_kernel_v3(
         tie-break envelope (ops/sort.py stable sort). (Big lane tables
         keep plain depth16-as-f32 in row 12; their eval runs batched in
         prepass_big_la and their rank is built in the thin pre-pass.)"""
+        if words:
+            # (8, W) u32 word payload: unpack + evaluate features IN-KERNEL
+            # directly at the tile origin (early exit leaves ~7% of binned
+            # blocks live — cooking every block in XLA wasted ~14x the
+            # feature work plus a 372 MB/frame payload write). All ops here
+            # are (1, W) rows — trivial next to the (NPX, W) power matmul.
+            key_w = pay[0:1, :]
+            val_w = key_w != jnp.uint32(0xFFFFFFFF)
+            ca = jnp.where(val_w, _f16_word_to_f32(pay[3:4, :] & 0xFFFF), 0.)
+            cb = jnp.where(val_w, _f16_word_to_f32(pay[3:4, :] >> 16), 0.0)
+            cc = jnp.where(val_w, _f16_word_to_f32(pay[4:5, :] & 0xFFFF), 0.)
+            op = jnp.where(val_w, _f16_word_to_f32(pay[4:5, :] >> 16), 1e-6)
+            ln_op = jnp.minimum(jnp.log(jnp.maximum(op, 1e-37)), -1e-3)
+            ixl = jax.lax.bitcast_convert_type(pay[1:2, :], f32) - ox
+            iyl = jax.lax.bitcast_convert_type(pay[2:3, :], f32) - oy
+            f3 = -0.5 * ca
+            f4 = -0.5 * cc
+            f5 = -cb
+            f1u = ca * ixl + cb * iyl
+            f2u = cc * iyl + cb * ixl
+            f0u = jnp.where(
+                val_w,
+                (-0.5 * (ca * ixl * ixl + cc * iyl * iyl)
+                 - cb * ixl * iyl) + ln_op,
+                GATE_OFF)
+            rxy = pay[7:8, :]
+            rxw = jax.lax.bitcast_convert_type(
+                (rxy & 0xFFFF).astype(jnp.uint16), bf16).astype(f32)
+            ryw = jax.lax.bitcast_convert_type(
+                (rxy >> 16).astype(jnp.uint16), bf16).astype(f32)
+            covered = ((ixl - rxw < span_x) & (ixl + rxw > 0.0)
+                       & (iyl - ryw < span_y) & (iyl + ryw > 0.0))
+            gate = jnp.where(covered & live & val_w, 0.0, GATE_OFF)
+            z1 = jnp.zeros((1, pay.shape[1]), f32)
+            F = jnp.concatenate([f0u, f1u, f2u, f3, f4, f5, gate, z1],
+                                axis=0)                         # (8, W)
+            r, g, b = _rgb9e5_word_to_f32(
+                jnp.where(val_w, pay[5:6, :], 0))
+            rgbT = jnp.concatenate([r, g, b], axis=0).astype(bf16)
+            rank = (((key_w & 0xFFFF).astype(jnp.int32) << 16)
+                    | ((pay[6:7, :].astype(jnp.int32) >> 7) & 0xFFFF)
+                    ) ^ jnp.int32(-0x80000000)
+            return F, rgbT, rank
         f0, f1, f2 = pay[0:1, :], pay[1:2, :], pay[2:3, :]
         f3, f4, f5 = pay[3:4, :], pay[4:5, :], pay[5:6, :]
         dx = ox - pay[14:15, :]
@@ -891,10 +967,14 @@ def render_tiles_v3(
                              tile_big_prefix=getattr(tile_bigs, "big_prefix",
                                                      None))
     US = Un * BLOCK_SIZE
+    # words payload: (B, 8, S) u32 sorted-word image (in-kernel cook);
+    # cooked payload: (B, 16, S) f32 — selected by dtype, no extra plumbing
+    words = payload.dtype == jnp.uint32
+    PW = payload.shape[1]
     kern = functools.partial(
         _render_kernel_v3, gx2=gx2, tile_size=cfg.tile_size, num_groups=TG,
         early_exit=early_exit, lowp=lowp, max_batches=max_batches,
-        obig=obig, U=Un, ablate=ablate)
+        obig=obig, U=Un, ablate=ablate, words=words)
 
     # static pixel-feature constants, pipelined in ONCE (constant block
     # index): tile-local features for the chain batches, and the strict
@@ -938,15 +1018,15 @@ def render_tiles_v3(
         Wb = slab_u * Un
         ids = jnp.maximum(bins.tile_blocks[:, :Wb], 0).astype(jnp.int32)
         slab = payload[ids.reshape(-1)]                 # (TG*Wb, PW, S)
-        slab = slab.reshape(TG, Wb, PAYLOAD_WIDTH, BLOCK_SIZE)
+        slab = slab.reshape(TG, Wb, PW, BLOCK_SIZE)
         slab = slab.transpose(0, 2, 1, 3).reshape(
-            TG, PAYLOAD_WIDTH, Wb * BLOCK_SIZE)
-        slab_spec = pl.BlockSpec((1, PAYLOAD_WIDTH, Wb * BLOCK_SIZE),
+            TG, PW, Wb * BLOCK_SIZE)
+        slab_spec = pl.BlockSpec((1, PW, Wb * BLOCK_SIZE),
                                  lambda t: (t, 0, 0),
                                  memory_space=pltpu.VMEM)
     else:
-        slab = jnp.zeros((1, PAYLOAD_WIDTH, BLOCK_SIZE), payload.dtype)
-        slab_spec = pl.BlockSpec((1, PAYLOAD_WIDTH, BLOCK_SIZE),
+        slab = jnp.zeros((1, PW, BLOCK_SIZE), payload.dtype)
+        slab_spec = pl.BlockSpec((1, PW, BLOCK_SIZE),
                                  lambda t: (0, 0, 0),
                                  memory_space=pltpu.VMEM)
     kern = functools.partial(kern, slab_u=slab_u)
@@ -984,7 +1064,7 @@ def render_tiles_v3(
         scratch_shapes=[
             pltpu.SMEM((2, GROUP * 8, 128), jnp.int32),
             pltpu.SMEM((6,), jnp.int32),
-            pltpu.VMEM((2, PAYLOAD_WIDTH, Un * BLOCK_SIZE), jnp.float32),
+            pltpu.VMEM((2, PW, Un * BLOCK_SIZE), payload.dtype),
             pltpu.VMEM((2, PAYLOAD_WIDTH, obig), jnp.float32),
             pltpu.VMEM((2, NPXG, obig), cdt),          # bigla ring
             pltpu.VMEM((2, NPX, US), jnp.float32),     # pend_z

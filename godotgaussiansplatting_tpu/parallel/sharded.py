@@ -203,13 +203,14 @@ def render_frame_fast_sharded(
                                   interpret=interpret)
             bf, bigs = build_block_frame2_words(
                 words, cfg, num_splats=cloud.num_splats,
-                big_cap=cfg.big_capacity)
+                big_cap=cfg.big_capacity, words_payload=cfg.words_payload)
         else:
             prj = project_splats(means, cov3d, opac, sh, uptime,
                                  view, proj, cam_pos, model_scale, time, cfg)
             bf, bigs = build_block_frame2(prj, cfg,
                                           num_splats=cloud.num_splats,
-                                          big_cap=cfg.big_capacity)
+                                          big_cap=cfg.big_capacity,
+                                          words_payload=cfg.words_payload)
 
         # --- block exchange: local blocks -> owning slabs ------------------
         r = bf.rect                               # (B_loc, 4) global tiles

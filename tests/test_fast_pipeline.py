@@ -228,3 +228,32 @@ def test_fast_transcendentals_accuracy():
     # absolute accuracy (their la rounds away inside bf16 sums regardless)
     assert ((rel < 2.5e-4) | (err < 1e-6)).all(), (rel.max(), err.max())
     assert got[a == 0.0].max() == 0.0
+
+
+@pytest.mark.slow
+def test_words_payload_matches_cooked():
+    """cfg.words_payload ships the render kernel the sorted-word image and
+    cooks features in-kernel; pixels must match the cooked 16-row payload
+    path to fp-association noise, and stats + picking must agree exactly."""
+    import godotgaussiansplatting_tpu as gs
+    from godotgaussiansplatting_tpu.ops.fast_pipeline import (
+        pick_splat_position_fast, render_frame_fast)
+    from godotgaussiansplatting_tpu.ops.pipeline import make_uniforms
+
+    cloud = gs.mortonize(gs.synthetic_scene(
+        30_000, seed=11, extent=3.0, scale_range=(0.01, 0.25)))
+    cfg = gs.RasterizerConfig(width=256, height=256)
+    cfgw = cfg.replace(words_payload=True)
+    uni = make_uniforms(gs.Camera.reset_pose(), cfg)
+    fc = render_frame_fast(cloud, uni, cfg, interpret=True)
+    fw = render_frame_fast(cloud, uni, cfgw, interpret=True)
+    assert int(fc.stats.num_pairs) == int(fw.stats.num_pairs)
+    assert int(fc.stats.num_overflow) == int(fw.stats.num_overflow)
+    a, b = np.asarray(fc.image), np.asarray(fw.image)
+    mse = float(((a - b) ** 2).mean())
+    psnr = 10 * np.log10(max(float(np.abs(a).max()), 1.0) ** 2
+                         / max(mse, 1e-12))
+    assert psnr > 60.0, f"words vs cooked PSNR {psnr:.1f} dB"
+    p1 = np.asarray(pick_splat_position_fast(fc, 120, cloud, 1.0, cfg))
+    p2 = np.asarray(pick_splat_position_fast(fw, 120, cloud, 1.0, cfgw))
+    np.testing.assert_array_equal(p1, p2)
