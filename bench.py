@@ -59,6 +59,11 @@ def main():
         # device-measured fast-path knobs (tile 32, batch_u 2 — see
         # RasterizerConfig.fast_defaults and FIDELITY_r04.json)
         cfg = cfg.fast_defaults()
+    # sweep-only A/B overrides (shipping values live on RasterizerConfig)
+    if os.environ.get("GS_WORDS"):
+        cfg = cfg.replace(words_payload=os.environ["GS_WORDS"] == "1")
+    if os.environ.get("GS_CLUSTER"):
+        cfg = cfg.replace(cluster=os.environ["GS_CLUSTER"])
     log(f"scene: {n_splats} splats, {width}x{height}, quality={quality}, "
         f"tiles={cfg.tile_dims}, backend={jax.default_backend()}")
 

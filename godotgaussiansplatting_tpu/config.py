@@ -136,6 +136,13 @@ class RasterizerConfig:
     # modes; pixels differ only by fp association in the feature math.
     # v3 kernel only. Static knob: changing it re-traces.
     words_payload: bool = False
+    # Fast-path block clustering: "screen" re-clusters every frame with the
+    # per-superblock (screen-cell Morton, depth16) row sort (ops/blocks2.py
+    # stage 1); "bricks" cuts blocks from the STATIC load-time 3D Morton
+    # order (compact world-space blobs -> naturally tight rects and depth
+    # ranges for any camera), skipping the per-frame sort entirely — the
+    # clustering is then temporally stable by construction. Static knob.
+    cluster: str = "screen"
 
     @property
     def target_size(self) -> Tuple[int, int]:
@@ -164,15 +171,21 @@ class RasterizerConfig:
 
     def fast_defaults(self) -> "RasterizerConfig":
         """This config with quality='fast' and the device-measured fast-path
-        performance knobs (round 4, v5e, 5.8M/1080p headline): tile_size 32,
-        batch_u 2 (79.8 ms/frame vs 125.5 at the reference's 16-px tiles,
-        with equal-or-better fidelity, FIDELITY_r04.json) plus the fused
-        Pallas projection kernel (75.7 ms; on-device fidelity vs the exact
-        oracle measured >= the jnp path's on the same scene). Knobs already
-        set away from their dataclass defaults are respected."""
-        kw = {"quality": "fast", "projection_kernel": True}
+        performance knobs (rounds 4-5, v5e, 5.8M/1080p headline): tile_size
+        32, batch_u 2 (79.8 ms/frame vs 125.5 at the reference's 16-px
+        tiles, with equal-or-better fidelity, FIDELITY_r04.json), the fused
+        Pallas projection kernel, static 3D-brick clustering (62.8 vs
+        65.4 ms — no per-frame stage-1 sort, tighter depth ranges, and
+        temporally stable by construction) and the in-kernel word-payload
+        cook (61.0 ms combined; round-5 device A/B ladder 65.9 -> 65.4 ->
+        64.8 -> 61.0). Knobs already set away from their dataclass defaults
+        are respected."""
+        kw = {"quality": "fast", "projection_kernel": True,
+              "words_payload": self.kernel != "v4"}
         if self.tile_size == TILE_SIZE:
             kw["tile_size"] = 32
         if self.batch_u is None:
             kw["batch_u"] = 2
+        if self.cluster == "screen":
+            kw["cluster"] = "bricks"
         return dataclasses.replace(self, **kw)
