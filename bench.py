@@ -64,6 +64,13 @@ def main():
         cfg = cfg.replace(words_payload=os.environ["GS_WORDS"] == "1")
     if os.environ.get("GS_CLUSTER"):
         cfg = cfg.replace(cluster=os.environ["GS_CLUSTER"])
+    if os.environ.get("GS_OBIG"):
+        cfg = cfg.replace(big_tile_capacity=int(os.environ["GS_OBIG"]))
+    if os.environ.get("GS_TILE"):
+        ts = int(os.environ["GS_TILE"])
+        cfg = cfg.replace(tile_size=ts, batch_u=None)
+    if os.environ.get("GS_VMEM"):
+        cfg = cfg.replace(kernel_vmem_mb=int(os.environ["GS_VMEM"]))
     log(f"scene: {n_splats} splats, {width}x{height}, quality={quality}, "
         f"tiles={cfg.tile_dims}, backend={jax.default_backend()}")
 

@@ -33,8 +33,9 @@ BLOCK_SIZE = 128    # splats per block (tight rects vs DMA efficiency)
 # screen cells either way). 32768 does not divide the 16384 pad multiple.
 SUPERBLOCK = int(_os.environ.get("GS_SUPERBLOCK", "8192"))
 CELL_SHIFT = 1      # screen-cluster cell edge in tiles = 2^CELL_SHIFT
-BIG_RADIUS = 32.0   # px; splats at least this wide are extracted into the
-                    # per-tile big-lane lists (ops/bigbin.py)
+# px; splats at least this wide are extracted into the per-tile big-lane
+# lists (ops/bigbin.py). GS_BIG_RADIUS is a sweep-only import-time override.
+BIG_RADIUS = float(_os.environ.get("GS_BIG_RADIUS", "32.0"))
 
 
 def morton_order(means: np.ndarray, bits: int = 10) -> np.ndarray:
