@@ -30,10 +30,12 @@ def get_cloud(n):
     import jax
     from godotgaussiansplatting_tpu.models.splats import (
         SplatCloud, _pad, build_covariance, PAD_MULTIPLE)
-    from godotgaussiansplatting_tpu.ops.blocks import morton_order
+    from godotgaussiansplatting_tpu.ops.blocks import order_splats
     import jax.numpy as jnp
 
-    cache = f"/tmp/scene_{n}.npz"
+    from godotgaussiansplatting_tpu.ops.blocks import CURVE
+    cache = f"/tmp/scene_{n}.npz" if CURVE == "morton" \
+        else f"/tmp/scene_{n}_{CURVE}.npz"
     if not os.path.exists(cache):
         # Reproduce synthetic_scene(seed=42, surfaces=True) + mortonize
         # without instantiating device arrays.
@@ -64,7 +66,7 @@ def get_cloud(n):
         sh = np.zeros((n, 16, 3), np.float32)
         sh[:, 0] = rng.uniform(-1.0, 2.0, (n, 3))
         sh[:, 1:16] = rng.normal(0, 0.12, (n, 15, 3))
-        order = morton_order(means)
+        order = order_splats(means)
         cov6 = build_covariance(scales[order], quats[order])
         cap = max(PAD_MULTIPLE, -(-n // PAD_MULTIPLE) * PAD_MULTIPLE)
         np.savez(cache, means=_pad(means[order], cap), cov3d=_pad(cov6, cap),

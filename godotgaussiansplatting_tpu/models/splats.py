@@ -118,16 +118,18 @@ def from_arrays(
 
 
 def mortonize(cloud: SplatCloud) -> SplatCloud:
-    """Reorder a cloud along a 3D Morton curve (host-side, one-time).
+    """Reorder a cloud along a 3D space-filling curve (host-side, one-time;
+    Hilbert by default — ops/blocks.CURVE — for ~20% tighter brick boxes
+    than the Morton Z-curve).
 
     Required by the fast render path (ops/blocks2.py): spatially local blocks
     project to tight tile rects. Rendering semantics are order-independent
     except for equal-depth16 tie-breaking (reference ties are GPU-race
     nondeterministic anyway — SURVEY.md §2.1). Padding slots stay at the tail.
     """
-    from ..ops.blocks import morton_order
+    from ..ops.blocks import order_splats
     n = cloud.num_splats
-    order = morton_order(np.asarray(cloud.means)[:n])
+    order = order_splats(np.asarray(cloud.means)[:n])
     perm = np.arange(cloud.capacity)
     perm[:n] = order
 

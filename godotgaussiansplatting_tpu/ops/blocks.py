@@ -64,3 +64,57 @@ def morton_order(means: np.ndarray, bits: int = 10) -> np.ndarray:
 
     code = (spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2))
     return np.argsort(code, kind="stable")
+
+
+def hilbert_order(means: np.ndarray, bits: int = 10) -> np.ndarray:
+    """Host-side 3D Hilbert-curve argsort of splat positions (Skilling's
+    transpose algorithm, vectorized numpy). Run once at load.
+
+    Versus the Morton Z-curve, the Hilbert curve has no discontinuous
+    jumps, so consecutive 128-splat runs ("bricks", cfg.cluster) bound
+    ~20% tighter boxes — measured at the 5.8M/1080p headline: tile-bin
+    dilution 3.14x -> 2.80x, blocks/tile 124 -> 110, identical depth
+    spreads. ~4 s for 5.8M splats on host (one-time; the Morton path
+    keeps its native C++ kernel for comparison sweeps)."""
+    p = np.asarray(means, np.float64)
+    lo = p.min(axis=0)
+    span = np.maximum(p.max(axis=0) - lo, 1e-9)
+    X = np.clip((p - lo) / span * (2**bits - 1), 0,
+                2**bits - 1).astype(np.int64)
+    M = 1 << (bits - 1)
+    Q = M
+    while Q > 1:                      # inverse-undo + exchange (Skilling)
+        P = Q - 1
+        for i in range(3):
+            cond = (X[:, i] & Q) != 0
+            X[:, 0] = np.where(cond, X[:, 0] ^ P, X[:, 0])
+            t = np.where(cond, 0, (X[:, 0] ^ X[:, i]) & P)
+            X[:, 0] ^= t
+            X[:, i] ^= t
+        Q >>= 1
+    X[:, 1] ^= X[:, 0]                # Gray encode
+    X[:, 2] ^= X[:, 1]
+    t = np.zeros(len(X), dtype=np.int64)
+    Q = M
+    while Q > 1:
+        t = np.where((X[:, 2] & Q) != 0, t ^ (Q - 1), t)
+        Q >>= 1
+    for i in range(3):
+        X[:, i] ^= t
+    key = np.zeros(len(X), dtype=np.int64)
+    for j in range(bits - 1, -1, -1):  # transpose-form bit interleave
+        for i in range(3):
+            key = (key << 1) | ((X[:, i] >> j) & 1)
+    return np.argsort(key, kind="stable")
+
+
+# Load-time space-filling curve for mortonize()/the brick clustering.
+# GS_CURVE=morton is a sweep-only override for device A/Bs.
+CURVE = _os.environ.get("GS_CURVE", "hilbert")
+
+
+def order_splats(means: np.ndarray, bits: int = 10) -> np.ndarray:
+    """The shipping load-time ordering (see CURVE)."""
+    if CURVE == "hilbert":
+        return hilbert_order(means, bits)
+    return morton_order(means, bits)

@@ -18,8 +18,10 @@ from godotgaussiansplatting_tpu.parallel.sharded import (
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("n_view,n_tile", [(1, 2), (1, 4), (2, 4)])
+@pytest.mark.parametrize("n_view,n_tile", [(1, 2), (2, 4)])
 def test_sharded_matches_single_device(n_view, n_tile):
+    # two combos (minimal split / both axes) keep the coverage; the third
+    # (1, 4) added 254 s of compile-bound CPU-mesh time for no new machinery
     cfg = RasterizerConfig(width=128, height=64 * n_tile,
                            reference_boundary_quirk=False)
     cloud = synthetic_scene(2000, seed=5, extent=2.5, scale_range=(0.01, 0.1))
@@ -75,9 +77,9 @@ def test_mesh_shapes():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("n_tile,height,ship", [(2, 128, False),
-                                                (4, 176, False),
-                                                (4, 176, True)])
+@pytest.mark.parametrize("n_tile,height,ship", [(2, 96, False),
+                                                (4, 80, False),
+                                                (4, 160, True)])
 def test_fast_sharded_matches_single_device(n_tile, height, ship):
     """Fast path: sharded block build + all-to-all exchange must agree with
     the single-device fast pipeline. The shards cluster independently
@@ -85,8 +87,11 @@ def test_fast_sharded_matches_single_device(n_tile, height, ship):
     envelopes differ between the two; the scene uses low opacity to make
     compositing order-insensitive — this test checks the exchange/slab/
     offset machinery, while single-chip PSNR tests carry ordering fidelity.
-    height=176 gives 11 tile rows — not divisible by 4 — exercising slab
-    padding."""
+    height=80 gives 5 (16-px) tile rows and the shipping config's
+    height=160 gives 5 (32-px) rows — neither divisible by 4 — exercising
+    slab padding. (Sizes shrunk round 5: the original 176-px cases cost
+    300-370 s each of interpret-mode CPU-mesh time; the padding and
+    exchange machinery is size-independent.)"""
     import dataclasses
     from godotgaussiansplatting_tpu.models.splats import mortonize
     from godotgaussiansplatting_tpu.ops.fast_pipeline import render_frame_fast
@@ -124,7 +129,7 @@ def test_fast_sharded_matches_single_device(n_tile, height, ship):
 def test_fast_sharded_psnr_normal_opacity():
     """Ordering fidelity of the sharded fast path at NORMAL opacity
     (round-2 VERDICT weak #3): with the per-shard capacity a whole number
-    of superblocks (131072 = 8 x 16384 = 8 x SUPERBLOCK = the padding
+    of superblocks (65536 = 8 x 8192 = 8 x SUPERBLOCK = the padding
     granularity) and the adaptive cell shift driven by the full splat
     count, shard clustering is IDENTICAL to single-chip, so the sharded
     image must match the single-device fast path to >= 40 dB — gating the
@@ -134,8 +139,8 @@ def test_fast_sharded_psnr_normal_opacity():
     from godotgaussiansplatting_tpu.parallel.sharded import (
         render_frame_fast_sharded)
 
-    n = 131072
-    cfg = RasterizerConfig(width=96, height=96)
+    n = 65536   # 8 shards x 8192 = whole superblocks per shard
+    cfg = RasterizerConfig(width=64, height=64)
     cloud = mortonize(synthetic_scene(n, seed=11, extent=2.5,
                                       scale_range=(0.004, 0.05)))
     assert cloud.capacity == n
